@@ -1,0 +1,122 @@
+"""Voice-conversion inference CLI.
+
+Reference parity (convert.py): reads ``convert.txt`` lines ``title|src|tgt``,
+converts each src utterance to the tgt speaker, writes float32 wavs.
+
+    python convert.py [--hpfile cfg.json] [--ptfile ckpt] [--hubert hubert.pt]
+                      [--txtpath convert.txt] [--outdir output/quickvc]
+
+Checkpoints: ``--ptfile`` accepts either a reference torch ``.pth``
+(G checkpoint; ported weight-for-weight) or an orbax checkpoint directory
+produced by this framework's trainer. ``--hubert`` is a local bshall/hubert
+HuBERT-soft torch checkpoint (the reference fetches it via torch.hub,
+convert.py:44; this environment has no network).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from quickvc_tpu.config import load_config
+from quickvc_tpu.data.audio_io import read_wav, resample, trim_silence, write_wav
+from quickvc_tpu.dsp.mel import mel_filterbank
+from quickvc_tpu.dsp.stft import wave_to_mel
+from quickvc_tpu.models.encoders import embed_utterance_batch
+from quickvc_tpu.models.hubert import HubertSoft
+from quickvc_tpu.models.synthesizer import SynthesizerTrn
+
+
+def load_generator_params(path: str, cfg):
+    if path.endswith((".pth", ".pt")):
+        from quickvc_tpu.utils.torch_port import load_torch_state_dict, port_generator, to_jax
+        return to_jax(port_generator(load_torch_state_dict(path), cfg.model))
+    # orbax checkpoint dir -> restore TrainState and take g_params
+    from quickvc_tpu.train.state import create_train_state
+    from quickvc_tpu.utils.checkpoint import CheckpointManager
+    state, _, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(os.path.dirname(path.rstrip("/")) if path.endswith("checkpoints")
+                            else path)
+    restored = mgr.restore_latest(jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state))
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {path}")
+    return restored[0].g_params
+
+
+def load_hubert_params(path: str):
+    import torch
+    from quickvc_tpu.utils.hubert_port import port_hubert
+    from quickvc_tpu.utils.torch_port import to_jax
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("hubert", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = {k: v.detach().numpy() for k, v in sd.items() if hasattr(v, "detach")}
+    return {"params": to_jax(port_hubert(sd))}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--hpfile", type=str, default="logs/quickvc/config.json")
+    parser.add_argument("--ptfile", type=str, default="logs/quickvc/quickvc.pth")
+    parser.add_argument("--hubert", type=str, default="logs/hubert-soft.pt")
+    parser.add_argument("--txtpath", type=str, default="convert.txt")
+    parser.add_argument("--outdir", type=str, default="output/quickvc")
+    parser.add_argument("--use_timestamp", default=False, action="store_true")
+    parser.add_argument("--noise-scale", type=float, default=1.0,
+                        help="prior sampling noise (0 = deterministic)")
+    args = parser.parse_args()
+
+    os.makedirs(args.outdir, exist_ok=True)
+    cfg = load_config(args.hpfile)
+    sr = cfg.data.sampling_rate
+
+    print("Loading model...")
+    net_g = SynthesizerTrn(cfg.spec_channels, cfg.segment_frames, cfg.model)
+    g_params = load_generator_params(args.ptfile, cfg)
+    hubert = HubertSoft()
+    h_params = load_hubert_params(args.hubert)
+    basis = jnp.asarray(mel_filterbank(sr, cfg.data.filter_length, cfg.data.n_mel_channels,
+                                       cfg.data.mel_fmin, cfg.data.mel_fmax))
+
+    units_fn = jax.jit(lambda p, w: hubert.apply(p, w, method=HubertSoft.units))
+    infer_fn = jax.jit(lambda p, u, g: net_g.apply(
+        {"params": p}, u, g, args.noise_scale, method=SynthesizerTrn.infer))
+    embed_fn = jax.jit(lambda p, m: net_g.apply(
+        {"params": p}, m, method=SynthesizerTrn.embed_speaker))
+
+    with open(args.txtpath) as f:
+        pairs = [line.strip().split("|") for line in f if line.strip()]
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    for title, src, tgt in pairs:
+        t0 = time.time()
+        wav_tgt, tsr = read_wav(tgt)
+        wav_tgt = resample(wav_tgt, tsr, sr)
+        wav_tgt, _ = trim_silence(wav_tgt, top_db=20)
+        wav_src, ssr = read_wav(src)
+        wav_src = resample(wav_src, ssr, sr)
+
+        mel_tgt = wave_to_mel(jnp.asarray(wav_tgt[None]), basis, cfg.data.filter_length,
+                              cfg.data.hop_length, cfg.data.win_length)
+        g_vec = embed_utterance_batch(embed_fn, g_params, mel_tgt)
+        unit = units_fn(h_params, jnp.asarray(wav_src[None]))
+        key, sub = jax.random.split(key)
+        audio = infer_fn(g_params, unit, g_vec) if args.noise_scale == 0.0 else net_g.apply(
+            {"params": g_params}, unit, g_vec, args.noise_scale,
+            method=SynthesizerTrn.infer, rngs={"sample": sub})
+        audio = np.asarray(audio[0, :, 0], dtype=np.float32)
+
+        name = f"{time.strftime('%m-%d_%H-%M')}_{title}.wav" if args.use_timestamp else f"{title}.wav"
+        write_wav(os.path.join(args.outdir, name), audio, sr)
+        print(f"{title}: {len(audio) / sr:.2f}s audio in {time.time() - t0:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Typed configuration system.
+
+Reference parity: mirrors the JSON schema of ``configs/quickvc.json`` and the
+typed dataclasses at ``utils.py:19-75`` in the reference. Unknown/legacy keys
+(e.g. ``ssl_dim``, ``use_sr``, ``n_layers_q`` present in the pretrained run's
+``logs/quickvc/config.json``) are accepted and ignored, matching the
+``**kwargs`` backward-compat shim at reference ``models.py:568-575``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+def _filter_kwargs(cls, d: dict[str, Any]) -> dict[str, Any]:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
+@dataclass
+class TrainConfig:
+    """Training hyperparameters (reference ``utils.py:20-38``)."""
+
+    log_interval: int = 20
+    eval_interval: int = 1000
+    seed: int = 1234
+    epochs: int = 20000
+    learning_rate: float = 2e-4
+    betas: tuple[float, float] = (0.8, 0.99)
+    eps: float = 1e-9
+    batch_size: int = 32
+    fp16_run: bool = False          # reference AMP flag; on TPU we use bf16 (see ``precision``)
+    lr_decay: float = 0.999875      # per-epoch exponential decay (reference train.py:71-72)
+    segment_size: int = 10240       # decoder training segment [samples]
+    c_mel: float = 45.0
+    c_kl: float = 1.0
+    max_speclen: int = 512          # collate crop cap [frames]
+    fft_sizes: tuple[int, ...] = (384, 683, 171)
+    hop_sizes: tuple[int, ...] = (30, 60, 10)
+    win_lengths: tuple[int, ...] = (150, 300, 60)
+    window: str = "hann_window"
+    # --- TPU-native additions (no reference equivalent) ---
+    precision: str = "bf16"         # "f32" | "bf16": compute dtype inside the jitted step
+    num_hosts: int = 1
+    data_axis: str = "data"
+    disc_width: float = 1.0         # discriminator channel scale (tests use < 1)
+
+
+@dataclass
+class DataConfig:
+    """Data/featurization hyperparameters (reference ``utils.py:41-51``)."""
+
+    training_files: str = "./dataset/train.txt"
+    validation_files: str = "./dataset/test.txt"
+    adress_data_root: str = ""
+    sampling_rate: int = 16000
+    filter_length: int = 1280       # STFT n_fft
+    hop_length: int = 320
+    win_length: int = 1280
+    n_mel_channels: int = 80
+    mel_fmin: float = 0.0
+    mel_fmax: float | None = None
+
+
+@dataclass
+class ModelConfig:
+    """Model hyperparameters (reference ``utils.py:54-68``)."""
+
+    ms_istft_vits: bool = True
+    mb_istft_vits: bool = False
+    istft_vits: bool = False
+    subbands: int = 4
+    gen_istft_n_fft: int = 16
+    gen_istft_hop_size: int = 4
+    inter_channels: int = 192
+    hidden_channels: int = 192
+    resblock_kernel_sizes: tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: tuple[tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    upsample_rates: tuple[int, ...] = (5, 4)
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: tuple[int, ...] = (16, 16)
+    gin_channels: int = 256
+    unit_channels: int = 256        # HuBERT-soft unit dim (hardcoded at reference models.py:579)
+    # Encoder/flow depths (reference hardcodes 16/4/4 at models.py:582-584).
+    enc_wn_layers: int = 16
+    flow_wn_layers: int = 4
+    n_flows: int = 4
+
+    @property
+    def decoder_kind(self) -> str:
+        if self.mb_istft_vits:
+            return "mb_istft"
+        if self.ms_istft_vits:
+            return "ms_istft"
+        if self.istft_vits:
+            return "istft"
+        raise ValueError("No decoder flag set (reference models.py:588-589)")
+
+
+@dataclass
+class QuickVCConfig:
+    """Root config (reference ``utils.py:71-75``)."""
+
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    model_dir: str = "./logs/quickvc"
+
+    # Derived quantities used model-wide.
+    @property
+    def spec_channels(self) -> int:
+        return self.data.filter_length // 2 + 1
+
+    @property
+    def segment_frames(self) -> int:
+        return self.train.segment_size // self.data.hop_length
+
+    def to_dict(self) -> dict[str, Any]:
+        def conv(x):
+            if dataclasses.is_dataclass(x):
+                return {f.name: conv(getattr(x, f.name)) for f in dataclasses.fields(x)}
+            if isinstance(x, (list, tuple)):
+                return [conv(v) for v in x]
+            return x
+        return conv(self)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+
+def _tupleize(x):
+    if isinstance(x, list):
+        return tuple(_tupleize(v) for v in x)
+    return x
+
+
+def config_from_dict(d: dict[str, Any]) -> QuickVCConfig:
+    train = TrainConfig(**{k: _tupleize(v) for k, v in _filter_kwargs(TrainConfig, d.get("train", {})).items()})
+    data = DataConfig(**_filter_kwargs(DataConfig, d.get("data", {})))
+    model = ModelConfig(**{k: _tupleize(v) for k, v in _filter_kwargs(ModelConfig, d.get("model", {})).items()})
+    return QuickVCConfig(train=train, data=data, model=model, model_dir=d.get("model_dir", "./logs/quickvc"))
+
+
+def load_config(path: str) -> QuickVCConfig:
+    """Load a QuickVC JSON config (accepts both new and reference schemas)."""
+    with open(path) as f:
+        return config_from_dict(json.load(f))
+
+
+def get_config(config_path: str, model_name: str = "quickvc", model_root: str = "./logs") -> QuickVCConfig:
+    """CLI-style config resolution: load JSON, set model_dir, archive a copy.
+
+    Mirrors reference ``utils.get_hparams`` (utils.py:78-102): the resolved
+    config is self-archived into ``model_dir/config.json``.
+    """
+    cfg = load_config(config_path)
+    cfg.model_dir = os.path.join(model_root, model_name)
+    os.makedirs(cfg.model_dir, exist_ok=True)
+    cfg.save(os.path.join(cfg.model_dir, "config.json"))
+    return cfg

@@ -1,0 +1,70 @@
+"""ctypes bindings for the native audio decoder (native/qvc_audio.cpp).
+
+Provides FLAC (and fast WAV) decoding for the preprocessing pipeline — the
+capability the reference gets from libsndfile via librosa (downsample.py:27).
+Falls back gracefully when the shared library hasn't been built
+(``make -C native``); WAV paths then go through scipy in audio_io.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _lib():
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libqvc_audio.so")
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.qvc_probe.argtypes = [ctypes.c_char_p] + [ctypes.POINTER(ctypes.c_int)] * 4 + [
+        ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int)]
+    lib.qvc_probe.restype = ctypes.c_int
+    lib.qvc_decode.argtypes = [ctypes.c_char_p,
+                               ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong]
+    lib.qvc_decode.restype = ctypes.c_longlong
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def read_audio(path: str) -> tuple[np.ndarray, int]:
+    """Decode FLAC/WAV to float32 mono [-1, 1] via the native library."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native audio library not built (make -C native)")
+    kind = ctypes.c_int()
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    bps = ctypes.c_int()
+    frames = ctypes.c_longlong()
+    floatfmt = ctypes.c_int()
+    rc = lib.qvc_probe(path.encode(), ctypes.byref(kind), ctypes.byref(sr),
+                       ctypes.byref(ch), ctypes.byref(bps), ctypes.byref(frames),
+                       ctypes.byref(floatfmt))
+    if rc != 0:
+        raise IOError(f"qvc_probe failed ({rc}) for {path}")
+    n = frames.value * ch.value
+    buf = np.empty(n, dtype=np.int32)
+    got = lib.qvc_decode(path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n)
+    if got < 0:
+        raise IOError(f"qvc_decode failed ({got}) for {path}")
+    x = buf[: got * ch.value].reshape(-1, ch.value).astype(np.float32)
+    if floatfmt.value:
+        x /= 8388608.0  # Q8.23 (see qvc_audio.cpp float path)
+    else:
+        x /= float(1 << (bps.value - 1))
+    return x.mean(axis=1), sr.value

@@ -1,0 +1,137 @@
+"""Training loop: epochs over the bucketed loader, logging, eval, checkpoints.
+
+Reference parity (train.py:25-222): D-then-G step per batch; scalar + mel
+image TensorBoard logging every ``log_interval`` steps; reconstruction eval
+and G/D checkpointing every ``eval_interval``; per-epoch exponential LR
+decay. TPU-native: the whole step is one jitted function with donated state;
+batches are sharded over the data mesh; metrics are fetched only on logging
+steps (no per-step device sync).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quickvc_tpu.config import QuickVCConfig
+from quickvc_tpu.data import BucketSampler, DataLoader, UnitAudioSpecDataset
+from quickvc_tpu.dsp.mel import mel_filterbank
+from quickvc_tpu.dsp.stft import spec_to_mel, wave_to_mel
+from quickvc_tpu.models.synthesizer import SynthesizerTrn
+from quickvc_tpu.parallel import batch_sharding, data_parallel_mesh, replicated
+from quickvc_tpu.train.state import create_train_state, param_count
+from quickvc_tpu.train.step import make_train_step
+from quickvc_tpu.utils.checkpoint import CheckpointManager
+from quickvc_tpu.utils.logging import Summarizer, get_logger, plot_spectrogram
+
+BUCKET_BOUNDARIES = [32, 40, 50, 60, 70, 80, 90, 100, 110, 120, 160, 200, 230,
+                     260, 300, 350, 400, 450, 500, 600, 700, 800, 900, 1000]
+
+
+def run(cfg: QuickVCConfig, max_steps: int | None = None) -> None:
+    logger = get_logger(cfg.model_dir)
+    writer = Summarizer(cfg.model_dir)
+    writer_eval = Summarizer(cfg.model_dir + "/eval")
+
+    # Data
+    train_ds = UnitAudioSpecDataset("train", cfg)
+    eval_ds = UnitAudioSpecDataset("eval", cfg)
+    n_proc, pid = jax.process_count(), jax.process_index()
+    sampler = BucketSampler(train_ds.lengths, cfg.train.batch_size, BUCKET_BOUNDARIES,
+                            shuffle=True, num_replicas=n_proc, rank=pid)
+    loader = DataLoader(train_ds, sampler, cfg, seed=cfg.train.seed)
+
+    # Mesh + state
+    mesh = data_parallel_mesh()
+    rep, bsh = replicated(mesh), batch_sharding(mesh)
+    state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed))
+    logger.info("Generator params: %.2fM | Discriminator params: %.2fM",
+                param_count(state.g_params) / 1e6, param_count(state.d_params) / 1e6)
+
+    ckpt = CheckpointManager(cfg.model_dir)
+    restored = ckpt.restore_latest(jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state))
+    if restored is not None:
+        state, start_step = restored
+        logger.info("Resumed from checkpoint at step %d", start_step)
+    state = jax.device_put(state, rep)
+
+    basis = jnp.asarray(mel_filterbank(cfg.data.sampling_rate, cfg.data.filter_length,
+                                       cfg.data.n_mel_channels))
+    step_fn = jax.jit(make_train_step(cfg, net_g, net_d, basis),
+                      in_shardings=(rep, bsh, rep), out_shardings=(rep, rep),
+                      donate_argnums=(0,))
+
+    global_step = int(jax.device_get(state.step))
+    base_key = jax.random.PRNGKey(cfg.train.seed + 17)
+    epoch0 = 1
+    t_last = time.perf_counter()
+
+    for epoch in range(epoch0, cfg.train.epochs + 1):
+        sampler.set_epoch(epoch)
+        # Per-epoch exponential decay (reference train.py:71-72,80-81) via the
+        # injected hyperparam — no recompilation.
+        lr = cfg.train.learning_rate * (cfg.train.lr_decay ** (epoch - 1))
+        state.g_opt.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        state.d_opt.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        for batch in loader:
+            batch = jax.device_put(
+                {k: jnp.asarray(v) for k, v in batch.items()}, bsh)
+            rng = jax.random.fold_in(base_key, global_step)
+            with mesh:
+                state, metrics = step_fn(state, batch, rng)
+
+            if global_step % cfg.train.log_interval == 0:
+                m = jax.device_get(metrics)
+                dt = time.perf_counter() - t_last
+                t_last = time.perf_counter()
+                logger.info("epoch %d step %d lr %.3e | g %.3f d %.3f mel %.3f kl %.3f "
+                            "(%.2f s since last log)", epoch, global_step, lr,
+                            float(m["loss/g/total"]), float(m["loss/d/total"]),
+                            float(m["loss/g/mel"]), float(m["loss/g/kl"]), dt)
+                writer.scalars(global_step, m)
+            if cfg.train.eval_interval and global_step % cfg.train.eval_interval == 0:
+                if jax.process_index() == 0:
+                    evaluate(global_step, cfg, net_g, state, eval_ds, basis, writer_eval)
+                ckpt.save(global_step, jax.device_get(state))
+            global_step += 1
+            if max_steps is not None and global_step >= max_steps:
+                ckpt.save(global_step, jax.device_get(state))
+                ckpt.wait()
+                return
+        logger.info("====> Epoch %d done", epoch)
+    ckpt.wait()
+
+
+def evaluate(global_step: int, cfg: QuickVCConfig, net_g: SynthesizerTrn,
+             state, eval_ds: UnitAudioSpecDataset, basis, writer: Summarizer,
+             max_items: int = 7) -> None:
+    """Reconstruction eval on a few items (reference train.py:196-222)."""
+    from quickvc_tpu.models.encoders import embed_utterance_batch
+
+    params = {"params": state.g_params}
+    for i in range(min(max_items, len(eval_ds))):
+        item = eval_ds[i]
+        unit = jnp.asarray(item["unit"][None])              # (1, F, 256)
+        spec = jnp.asarray(item["spec"][None])
+        n = min(unit.shape[1], spec.shape[1])
+        unit, spec = unit[:, :n], spec[:, :n]
+        mel = spec_to_mel(spec, basis)
+        g_vec = embed_utterance_batch(
+            lambda p, m: net_g.apply(p, m, method=SynthesizerTrn.embed_speaker),
+            params, mel)
+        y_hat = net_g.apply(params, unit, g_vec, 0.0, method=SynthesizerTrn.infer)
+        y_hat_mel = wave_to_mel(y_hat[..., 0], basis, cfg.data.filter_length,
+                                cfg.data.hop_length, cfg.data.win_length)
+        writer.images(global_step, {
+            f"gen/mel_{i}": plot_spectrogram(np.asarray(y_hat_mel[0]).T),
+            f"gt/mel_{i}": plot_spectrogram(np.asarray(mel[0]).T),
+        })
+        writer.audios(global_step, {
+            f"gen/audio_{i}": np.asarray(y_hat[0, :, 0]),
+            f"gt/audio_{i}": item["wave"][:, 0],
+        }, cfg.data.sampling_rate)
+    writer.flush()

@@ -1,0 +1,134 @@
+"""The jitted GAN training step (D update then G update, one compiled fn).
+
+Reference parity (train.py:117-162 per-step semantics):
+
+1. mel from spec; generator forward (posterior sample, random 32-frame
+   slice) -> y_hat; slice the target wave to the same segment.
+2. D phase: D(y, stop_grad(y_hat)); LSGAN loss; AdamW update of D.
+3. G phase: with the *updated* D (the reference's second net_d pass at
+   train.py:141 runs after optim_d.step()): LSGAN G + 2x L1 feature matching
+   + 45 * mel-L1 + 1.0 * KL (+ sub-band MR-STFT for the MB decoder);
+   AdamW update of G.
+
+The generator forward runs twice (once for the D phase, once inside the G
+grad) with the *same* PRNG keys, so both phases see the identical y_hat —
+matching the reference, which reuses one forward's output for both. Cost is
+the same (fwd + fwd + bwd vs fwd + bwd-through-saved-graph) and it keeps the
+whole step one pure jitted function with a donated carry.
+
+Parallelism: the step is sharding-agnostic. Under a ``('data',)`` mesh the
+loop passes batch-sharded inputs and replicated state; GSPMD inserts the
+gradient ``psum`` over ICI automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from quickvc_tpu.config import QuickVCConfig
+from quickvc_tpu.dsp.pqmf import PQMFBank
+from quickvc_tpu.dsp.stft import spec_to_mel, wave_to_mel
+from quickvc_tpu.losses import (
+    discriminator_loss,
+    feature_loss,
+    generator_loss,
+    kl_loss,
+    subband_stft_loss,
+)
+from quickvc_tpu.ops.slicing import slice_segments
+from quickvc_tpu.train.state import TrainState, make_optimizer
+
+
+def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis):
+    """Build the jitted (state, batch, rng) -> (state, metrics) step."""
+
+    opt = make_optimizer(cfg)
+    hop = cfg.data.hop_length
+    seg_frames = cfg.segment_frames
+    seg_samples = cfg.train.segment_size
+    compute_dtype = jnp.bfloat16 if cfg.train.precision == "bf16" else jnp.float32
+    use_subband_loss = cfg.model.mb_istft_vits
+    pqmf = PQMFBank(cfg.model.subbands) if use_subband_loss else None
+
+    def g_forward(g_params, unit, spec, mel, rngs):
+        return net_g.apply({"params": g_params}, unit.astype(compute_dtype),
+                           spec.astype(compute_dtype), mel.astype(compute_dtype),
+                           rngs=rngs)
+
+    def train_step(state: TrainState, batch: dict[str, jax.Array], rng: jax.Array):
+        unit, spec, y = batch["unit"], batch["spec"], batch["wave"]
+        rng_sample, rng_slice = jax.random.split(rng)
+        rngs = {"sample": rng_sample, "slice": rng_slice}
+
+        mel = spec_to_mel(spec, mel_basis)
+
+        # ---- Generator forward (shared by both phases via identical rngs) ----
+        y_hat, y_hat_mb, ids_slice, _ = g_forward(state.g_params, unit, spec, mel, rngs)
+        y_hat = y_hat.astype(jnp.float32)
+        y_seg = slice_segments(y, ids_slice * hop, seg_samples)
+
+        # ---- D phase ----
+        def d_loss_fn(d_params):
+            logits_r, logits_g, _, _ = net_d.apply(
+                {"params": d_params}, y_seg.astype(compute_dtype),
+                jax.lax.stop_gradient(y_hat).astype(compute_dtype))
+            logits_r = [l.astype(jnp.float32) for l in logits_r]
+            logits_g = [l.astype(jnp.float32) for l in logits_g]
+            loss, r_losses, g_losses = discriminator_loss(logits_r, logits_g)
+            return loss, (r_losses, g_losses)
+
+        (loss_disc, (losses_d_r, losses_d_g)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        d_updates, d_opt = opt.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- G phase (against the updated D) ----
+        def g_loss_fn(g_params):
+            y_hat2, y_hat_mb2, ids2, latents = g_forward(g_params, unit, spec, mel, rngs)
+            y_hat2 = y_hat2.astype(jnp.float32)
+            z, z_p, m_p, logs_p, m_q, logs_q = [t.astype(jnp.float32) for t in latents]
+            y_seg2 = slice_segments(y, ids2 * hop, seg_samples)
+            logits_r, logits_g, fmap_r, fmap_g = net_d.apply(
+                {"params": d_params}, y_seg2.astype(compute_dtype),
+                y_hat2.astype(compute_dtype))
+            logits_g = [l.astype(jnp.float32) for l in logits_g]
+
+            y_hat_mel = wave_to_mel(y_hat2[..., 0], mel_basis,
+                                    cfg.data.filter_length, hop, cfg.data.win_length)
+            y_mel = slice_segments(mel, ids2, seg_frames)
+            loss_mel = cfg.train.c_mel * jnp.mean(jnp.abs(y_mel - y_hat_mel))
+            loss_kl = cfg.train.c_kl * kl_loss(z_p, logs_q, m_p, logs_p)
+            loss_fm = feature_loss(fmap_r, fmap_g)
+            loss_gen, _ = generator_loss(logits_g)
+            if use_subband_loss:
+                y_mb = pqmf.analysis(y_seg2)
+                loss_sub = subband_stft_loss(
+                    y_mb, y_hat_mb2.astype(jnp.float32),
+                    cfg.train.fft_sizes, cfg.train.hop_sizes, cfg.train.win_lengths)
+            else:
+                loss_sub = jnp.zeros(())
+            total = loss_gen + loss_fm + loss_mel + loss_kl + loss_sub
+            aux = {"loss/g/total": total, "loss/g/gen": loss_gen, "loss/g/fm": loss_fm,
+                   "loss/g/mel": loss_mel, "loss/g/kl": loss_kl, "loss/g/subband": loss_sub}
+            return total, aux
+
+        (loss_g_total, g_aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params)
+        g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        metrics = dict(g_aux)
+        metrics["loss/d/total"] = loss_disc
+        metrics["loss/d/r"] = losses_d_r
+        metrics["loss/d/g"] = losses_d_g
+
+        new_state = TrainState(step=state.step + 1, g_params=g_params,
+                               d_params=d_params, g_opt=g_opt, d_opt=d_opt)
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,104 @@
+"""End-to-end integration: synthetic dataset -> loader -> train steps -> infer.
+
+Covers the full pipeline the reference exercises via train.py + convert.py
+(SURVEY.md §3.1/§3.2) on a tiny config: wav/unit files on disk, spec cache,
+bucket sampler with static shapes, the jitted GAN step, and the inference
+path with the speaker-embedding windowing.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quickvc_tpu.config import DataConfig, ModelConfig, QuickVCConfig, TrainConfig
+from quickvc_tpu.data import BucketSampler, DataLoader, UnitAudioSpecDataset
+from quickvc_tpu.data.audio_io import write_wav_int16
+from quickvc_tpu.dsp.mel import mel_filterbank
+from quickvc_tpu.dsp.stft import spec_to_mel
+from quickvc_tpu.models.encoders import embed_utterance_batch
+from quickvc_tpu.models.synthesizer import SynthesizerTrn
+from quickvc_tpu.train import create_train_state, make_train_step
+
+UNIT_DIM = 12
+
+
+@pytest.fixture
+def synth_dataset(tmp_path, rng):
+    """4 synthetic utterances: s16 wav + unit .npy + train list."""
+    paths = []
+    for i in range(4):
+        t = 16000 + i * 4000  # 1.0 - 1.75 s
+        wav = (0.3 * np.sin(2 * np.pi * 220 * (i + 1) * np.arange(t) / 16000)
+               + 0.05 * rng.standard_normal(t)).astype(np.float32)
+        p = tmp_path / f"utt{i}.wav"
+        write_wav_int16(str(p), wav, 16000)
+        np.save(str(p).replace(".wav", ".npy"),
+                rng.standard_normal((t // 320, UNIT_DIM)).astype(np.float32))
+        paths.append(str(p))
+    list_path = tmp_path / "train.txt"
+    list_path.write_text("\n".join(paths) + "\n")
+    return str(list_path)
+
+
+def e2e_config(list_path: str) -> QuickVCConfig:
+    return QuickVCConfig(
+        train=TrainConfig(segment_size=2560, max_speclen=32, precision="f32",
+                          batch_size=2, disc_width=0.25),
+        data=DataConfig(training_files=list_path, validation_files=list_path),
+        model=ModelConfig(inter_channels=16, hidden_channels=16,
+                          upsample_initial_channel=32, gin_channels=16,
+                          unit_channels=UNIT_DIM, resblock_kernel_sizes=(3,),
+                          resblock_dilation_sizes=((1, 3, 5),),
+                          enc_wn_layers=2, flow_wn_layers=2, n_flows=2),
+    )
+
+
+def test_pipeline_trains_and_infers(synth_dataset, rng):
+    cfg = e2e_config(synth_dataset)
+    ds = UnitAudioSpecDataset("train", cfg)
+    assert len(ds) == 4
+    item = ds[0]
+    f = item["spec"].shape[0]
+    assert item["spec"].shape[1] == cfg.spec_channels
+    assert abs(item["unit"].shape[0] - f) <= 1
+    # spec cache materialized beside the wav
+    assert any(p.endswith(".spec.npy") for p in os.listdir(os.path.dirname(ds.audiopaths[0])))
+
+    sampler = BucketSampler(ds.lengths, cfg.train.batch_size,
+                            [32, 40, 50, 60, 70, 80, 90, 100], shuffle=True)
+    loader = DataLoader(ds, sampler, cfg, num_workers=1)
+    batches = list(loader)
+    assert len(batches) == len(sampler)
+    shapes = {b["unit"].shape for b in batches}
+    for b in batches:
+        assert b["unit"].shape[0] == 2
+        assert b["wave"].shape[1] == b["unit"].shape[1] * cfg.data.hop_length
+    # static shapes: one shape per bucket
+    assert len(shapes) <= len(sampler.buckets)
+
+    state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(0))
+    basis = jnp.asarray(mel_filterbank(16000, cfg.data.filter_length, 80))
+    step = jax.jit(make_train_step(cfg, net_g, net_d, basis))
+    losses = []
+    for i, b in enumerate(batches[:2]):
+        state, metrics = step(state, {k: jnp.asarray(v) for k, v in b.items()},
+                              jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss/g/total"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert int(state.step) == 2
+
+    # Inference with the trained params (reconstruction, reference §3.5)
+    unit = jnp.asarray(item["unit"][None, : f - 1])
+    spec = jnp.asarray(item["spec"][None, : f - 1])
+    mel = spec_to_mel(spec, basis)
+    params = {"params": state.g_params}
+    g_vec = embed_utterance_batch(
+        lambda p, m: net_g.apply(p, m, method=SynthesizerTrn.embed_speaker),
+        params, mel)
+    wave = net_g.apply(params, unit, g_vec, 0.0, method=SynthesizerTrn.infer)
+    assert wave.shape == (1, (f - 1) * cfg.data.hop_length, 1)
+    assert np.isfinite(np.asarray(wave)).all()

@@ -1,0 +1,86 @@
+"""HuBERT-soft parity: flax implementation vs a torch replica, matched weights.
+
+The released bshall/hubert checkpoint is not fetchable offline, so parity is
+pinned structurally: a torch model built from the same primitives
+(Conv1d/GroupNorm/weight_norm(dim=2)/TransformerEncoderLayer) with random
+weights, ported through ``utils.hubert_port.port_hubert`` and compared.
+This validates both the forward math and the checkpoint port mapping.
+"""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from quickvc_tpu.models.hubert import HubertSoft
+from quickvc_tpu.utils.hubert_port import port_hubert
+from quickvc_tpu.utils.torch_port import to_jax
+
+
+class TorchHubertReplica(torch.nn.Module):
+    """Small-config torch HubertSoft with bshall/hubert's key layout."""
+
+    def __init__(self, d=64, layers=2, heads=4, ffn=128, ch=32, unit=24, pos_k=8, pos_g=4):
+        super().__init__()
+        self.feature_extractor = torch.nn.Module()
+        self.feature_extractor.conv0 = torch.nn.Conv1d(1, ch, 10, 5, bias=False)
+        self.feature_extractor.norm0 = torch.nn.GroupNorm(ch, ch)
+        for i in range(1, 5):
+            setattr(self.feature_extractor, f"conv{i}", torch.nn.Conv1d(ch, ch, 3, 2, bias=False))
+        for i in range(5, 7):
+            setattr(self.feature_extractor, f"conv{i}", torch.nn.Conv1d(ch, ch, 2, 2, bias=False))
+        self.feature_projection = torch.nn.Module()
+        self.feature_projection.norm = torch.nn.LayerNorm(ch)
+        self.feature_projection.projection = torch.nn.Linear(ch, d)
+        self.positional_embedding = torch.nn.Module()
+        self.positional_embedding.conv = torch.nn.utils.weight_norm(
+            torch.nn.Conv1d(d, d, pos_k, padding=pos_k // 2, groups=pos_g), dim=2)
+        self.norm = torch.nn.LayerNorm(d)
+        self.encoder = torch.nn.TransformerEncoder(
+            torch.nn.TransformerEncoderLayer(d, heads, ffn, activation="gelu",
+                                             batch_first=True, dropout=0.0),
+            num_layers=layers)
+        self.proj = torch.nn.Linear(d, unit)
+
+    def forward(self, wav):
+        fe = self.feature_extractor
+        x = torch.nn.functional.gelu(fe.norm0(fe.conv0(wav.unsqueeze(1))))
+        for i in range(1, 7):
+            x = torch.nn.functional.gelu(getattr(fe, f"conv{i}")(x))
+        x = x.transpose(1, 2)
+        x = self.feature_projection.projection(self.feature_projection.norm(x))
+        p = self.positional_embedding.conv(x.transpose(1, 2))
+        p = torch.nn.functional.gelu(p[:, :, :-1]).transpose(1, 2)
+        x = self.norm(x + p)
+        x = self.encoder(x)
+        return self.proj(x)
+
+
+def test_hubert_matches_torch_replica(rng):
+    d, layers, heads, ffn, ch, unit, pos_k, pos_g = 64, 2, 4, 128, 32, 24, 8, 4
+    tmodel = TorchHubertReplica(d, layers, heads, ffn, ch, unit, pos_k, pos_g).eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = to_jax(port_hubert(sd, num_layers=layers))
+
+    ours = HubertSoft(embed_dim=d, num_layers=layers, num_heads=heads,
+                      ffn_dim=ffn, extractor_channels=ch, unit_dim=unit,
+                      pos_kernel_size=pos_k, pos_groups=pos_g)
+
+    wav = rng.standard_normal((2, 3200)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        golden = tmodel(torch.from_numpy(wav)).numpy()
+    out = ours.apply({"params": params}, jnp.asarray(wav))
+
+    assert out.shape == golden.shape
+    np.testing.assert_allclose(np.asarray(out), golden, atol=2e-4, rtol=2e-3)
+
+
+def test_hubert_units_frame_rate(rng):
+    """units(): (B, T) 16 kHz -> (B, T//320, unit_dim) 50 Hz."""
+    ours = HubertSoft(embed_dim=32, num_layers=1, num_heads=2, ffn_dim=64,
+                      extractor_channels=16, unit_dim=8, pos_kernel_size=8, pos_groups=4)
+    import jax
+    wav = jnp.asarray(rng.standard_normal((1, 6400)).astype(np.float32))
+    params = ours.init(jax.random.PRNGKey(0), wav)
+    units = ours.apply(params, wav, method=HubertSoft.units)
+    assert units.shape == (1, 6400 // 320, 8)
