@@ -4,14 +4,20 @@ Measures the flagship inference path (prior encoder -> inverse flow ->
 Multistream-iSTFT decoder, full-size QuickVC config) in audio-seconds
 generated per wall-clock second per chip ("x realtime").
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline = 50x realtime, the BASELINE.md north-star target
-(the reference publishes no inference throughput numbers).
+Variants benchmarked (diagnostics on stderr): f32 XLA head, bf16 compute
+(f32 params, bf16 activations; the iSTFT head and final synthesis filter
+stay f32 for the audio noise floor), and the Pallas fused iSTFT head.
+
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}
+for the best production-quality variant. Baseline = 50x realtime, the
+BASELINE.md north-star target (the reference publishes no inference
+throughput numbers).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -25,46 +31,98 @@ from quickvc_tpu.models.synthesizer import SynthesizerTrn
 BASELINE_XRT = 50.0
 
 
-def main():
-    cfg = QuickVCConfig()
-    net = SynthesizerTrn(cfg.spec_channels, cfg.segment_frames, cfg.model)
+def make_chained(infer, params, iters):
+    """Serialize iterations with a data dependency and return one scalar.
 
-    batch, frames = 8, 500  # 8 utterances x 10 s @ 50 Hz units
-    rng = np.random.default_rng(0)
-    unit = jnp.asarray(rng.standard_normal((batch, frames, cfg.model.unit_channels)).astype(np.float32))
-    spec = jnp.zeros((1, 40, cfg.spec_channels), jnp.float32)
-    mel = jnp.zeros((1, 40, cfg.data.n_mel_channels), jnp.float32)
-    init_unit = jnp.zeros((1, 40, cfg.model.unit_channels), jnp.float32)
-    variables = jax.jit(lambda: net.init(
-        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
-         "slice": jax.random.PRNGKey(2)}, init_unit, spec, mel))()
-    g_vec = jnp.asarray(rng.standard_normal((batch, cfg.model.gin_channels)).astype(np.float32))
-    g_vec = g_vec / np.linalg.norm(g_vec, axis=1, keepdims=True)
+    ``block_until_ready`` through the remote-execution tunnel can return
+    before compute finishes, which inflates naive timing loops by orders of
+    magnitude; chaining each iteration's input on the previous output forces
+    real sequential execution, and fetching the final scalar forces full
+    completion.
+    """
 
     @jax.jit
-    def infer(params, unit, g_vec):
-        return net.apply({"params": params}, unit, g_vec, 0.0,
-                         method=SynthesizerTrn.infer)
+    def chained(u, g):
+        def body(carry, _):
+            out = infer(params, u + carry, g)
+            # scale (not zero — XLA may simplify x*0) keeps the dependency
+            # real while perturbing the next input by ~1e-15
+            return (jnp.mean(out) * 1e-12).astype(u.dtype), None
+        carry, _ = jax.lax.scan(body, jnp.zeros((), u.dtype), None, length=iters)
+        return carry
 
-    params = variables["params"]
-    # Warmup / compile
-    out = infer(params, unit, g_vec)
-    out.block_until_ready()
+    return chained
 
-    iters = 20
+
+def time_case(chained, u, g):
+    out = chained(u, g)  # warmup + compile
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = infer(params, unit, g_vec)
-    out.block_until_ready()
+    val = float(chained(u, g))  # host fetch of the final scalar
     dt = time.perf_counter() - t0
+    assert np.isfinite(val)
+    return dt
 
-    audio_seconds = iters * batch * frames * cfg.data.hop_length / cfg.data.sampling_rate
-    xrt = audio_seconds / dt
+
+def main():
+    batch, frames = 8, 500  # 8 utterances x 10 s @ 50 Hz units
+    rng = np.random.default_rng(0)
+    unit = jnp.asarray(rng.standard_normal((batch, frames, 256)).astype(np.float32))
+    g_vec = jnp.asarray(rng.standard_normal((batch, 256)).astype(np.float32))
+    g_vec = g_vec / jnp.linalg.norm(g_vec, axis=1, keepdims=True)
+
+    def build(use_pallas: bool):
+        cfg = QuickVCConfig()
+        cfg.model.use_pallas_istft = use_pallas
+        net = SynthesizerTrn(cfg.spec_channels, cfg.segment_frames, cfg.model)
+        spec = jnp.zeros((1, 40, cfg.spec_channels), jnp.float32)
+        mel = jnp.zeros((1, 40, 80), jnp.float32)
+        iu = jnp.zeros((1, 40, 256), jnp.float32)
+        variables = jax.jit(lambda: net.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+             "slice": jax.random.PRNGKey(2)}, iu, spec, mel))()
+        return cfg, net, variables["params"]
+
+    cfg, net, params = build(use_pallas=False)
+    audio_seconds_per_iter = batch * frames * cfg.data.hop_length / cfg.data.sampling_rate
+    iters = 20
+
+    def infer(p, u, g):
+        return net.apply({"params": p}, u, g, 0.0, method=SynthesizerTrn.infer)
+
+    results = {}
+    chained = make_chained(infer, params, iters)
+    results["f32_xla"] = iters * audio_seconds_per_iter / time_case(chained, unit, g_vec)
+
+    # bf16 activations (params stay f32; conv kernels are cast to the
+    # activation dtype inside the layers; the iSTFT head upcasts to f32).
+    results["bf16_xla"] = iters * audio_seconds_per_iter / time_case(
+        chained, unit.astype(jnp.bfloat16), g_vec.astype(jnp.bfloat16))
+
+    try:
+        _, net_p, _ = build(use_pallas=True)
+
+        def infer_p(p, u, g):
+            return net_p.apply({"params": p}, u, g, 0.0, method=SynthesizerTrn.infer)
+
+        chained_p = make_chained(infer_p, params, iters)
+        results["f32_pallas_head"] = iters * audio_seconds_per_iter / time_case(
+            chained_p, unit, g_vec)
+        results["bf16_pallas_head"] = iters * audio_seconds_per_iter / time_case(
+            chained_p, unit.astype(jnp.bfloat16), g_vec.astype(jnp.bfloat16))
+    except Exception as e:  # pallas unavailable on this backend
+        print(f"pallas head skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
+    for k, v in results.items():
+        print(f"{k}: {v:.1f} x realtime", file=sys.stderr)
+
+    best_name, best = max(results.items(), key=lambda kv: kv[1])
+    print(f"best: {best_name}", file=sys.stderr)
     print(json.dumps({
         "metric": "synthesis_throughput",
-        "value": round(xrt, 2),
+        "value": round(best, 2),
         "unit": "x_realtime_per_chip",
-        "vs_baseline": round(xrt / BASELINE_XRT, 3),
+        "vs_baseline": round(best / BASELINE_XRT, 3),
     }))
 
 

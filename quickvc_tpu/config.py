@@ -89,6 +89,8 @@ class ModelConfig:
     enc_wn_layers: int = 16
     flow_wn_layers: int = 4
     n_flows: int = 4
+    # TPU-native: use the Pallas fused iSTFT head (ops/fused_istft.py).
+    use_pallas_istft: bool = False
 
     @property
     def decoder_kind(self) -> str:

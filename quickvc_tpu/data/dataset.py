@@ -36,10 +36,32 @@ from quickvc_tpu.config import QuickVCConfig
 from quickvc_tpu.data.audio_io import read_wav
 
 
-def load_filepaths(list_path: str) -> list[str]:
-    """Parse a filelist txt: one (possibly |-separated) path per line."""
-    with open(list_path, encoding="utf-8") as f:
-        return [line.strip().split("|")[0] for line in f if line.strip()]
+def load_filepaths(list_path: str, mode: str = "train") -> list[str]:
+    """Resolve the dataset spec to wav paths.
+
+    Two modes, mirroring reference ``load_filepaths``
+    (data_utils_new_new.py:20-47):
+    - ``*.txt``: filelist, one (possibly |-separated) path per line;
+    - a directory (the reference's speechcorpusy extension): glob
+      ``**/*.wav`` with speaker = parent dir name; each speaker's LAST
+      utterance goes to eval, the rest to train.
+    """
+    if list_path.endswith(".txt"):
+        with open(list_path, encoding="utf-8") as f:
+            return [line.strip().split("|")[0] for line in f if line.strip()]
+    # directory corpus layout: <root>/<speaker>/<utt>.wav
+    import glob as _glob
+
+    paths = sorted(_glob.glob(os.path.join(list_path, "**", "*.wav"), recursive=True))
+    paths = [p for p in paths if not p.endswith(".spec.npy")]
+    by_spk: dict[str, list[str]] = {}
+    for p in paths:
+        by_spk.setdefault(os.path.basename(os.path.dirname(p)), []).append(p)
+    out: list[str] = []
+    for spk in sorted(by_spk):
+        utts = by_spk[spk]
+        out.extend(utts[:-1] if mode == "train" else utts[-1:])
+    return out
 
 
 def _compute_spec(wav: np.ndarray, cfg: QuickVCConfig) -> np.ndarray:
@@ -58,7 +80,7 @@ class UnitAudioSpecDataset:
                  cache_specs: bool = True):
         self.cfg = cfg
         list_path = cfg.data.training_files if mode == "train" else cfg.data.validation_files
-        self.audiopaths = load_filepaths(list_path)
+        self.audiopaths = load_filepaths(list_path, mode)
         rng = np.random.default_rng(shuffle_seed)
         rng.shuffle(self.audiopaths)
         self.cache_specs = cache_specs

@@ -88,6 +88,7 @@ class ISTFTGenerator(nn.Module):
     gen_istft_hop_size: int = 4
     subbands: int = 1
     gin_channels: int = 256
+    use_pallas_istft: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, g: jax.Array):
@@ -99,8 +100,16 @@ class ISTFTGenerator(nn.Module):
         x = reflection_pad_left(x)
         x = WNConv1d(2 * n_freq, 7, kernel_init=normal_init(), name="conv_post")(x)
         log_mag, phase = x[..., :n_freq], x[..., n_freq:]
-        wave = polar_inverse_stft(log_mag, phase, self.gen_istft_n_fft, self.gen_istft_hop_size)
+        wave = _polar_istft(log_mag, phase, self.gen_istft_n_fft,
+                            self.gen_istft_hop_size, self.use_pallas_istft)
         return wave[..., None], None
+
+
+def _polar_istft(log_mag, phase, n_fft, hop, use_pallas: bool):
+    if use_pallas:
+        from quickvc_tpu.ops.fused_istft import polar_inverse_stft_pallas
+        return polar_inverse_stft_pallas(log_mag, phase, n_fft, hop)
+    return polar_inverse_stft(log_mag, phase, n_fft, hop)
 
 
 class _SubbandHead(nn.Module):
@@ -109,6 +118,7 @@ class _SubbandHead(nn.Module):
     subbands: int
     n_fft: int
     hop: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -124,7 +134,7 @@ class _SubbandHead(nn.Module):
         # Band batching: (B, T, s, freq) -> (B*s, T, freq)
         log_mag = log_mag.transpose(0, 2, 1, 3).reshape(b * s, f, n_freq)
         phase = phase.transpose(0, 2, 1, 3).reshape(b * s, f, n_freq)
-        wave = polar_inverse_stft(log_mag, phase, self.n_fft, self.hop)  # (B*s, T')
+        wave = _polar_istft(log_mag, phase, self.n_fft, self.hop, self.use_pallas)
         return wave.reshape(b, s, -1)
 
 
@@ -144,6 +154,7 @@ class MultibandISTFTGenerator(nn.Module):
     gen_istft_hop_size: int = 4
     subbands: int = 4
     gin_channels: int = 256
+    use_pallas_istft: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, g: jax.Array):
@@ -152,7 +163,7 @@ class MultibandISTFTGenerator(nn.Module):
                            self.upsample_initial_channel, self.upsample_kernel_sizes,
                            self.gin_channels, name="backbone")(x, g)
         y_mb = _SubbandHead(self.subbands, self.gen_istft_n_fft, self.gen_istft_hop_size,
-                            name="head")(x)                      # (B, Band, T')
+                            self.use_pallas_istft, name="head")(x)  # (B, Band, T')
         y_mb_tl = y_mb.transpose(0, 2, 1)                        # (B, T', Band)
         pqmf = PQMFBank(self.subbands)
         y = pqmf.synthesis(y_mb_tl)                              # (B, T, 1)
@@ -181,6 +192,7 @@ class MultistreamISTFTGenerator(nn.Module):
     gen_istft_hop_size: int = 4
     subbands: int = 4
     gin_channels: int = 256
+    use_pallas_istft: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, g: jax.Array):
@@ -190,7 +202,7 @@ class MultistreamISTFTGenerator(nn.Module):
                            self.upsample_initial_channel, self.upsample_kernel_sizes,
                            self.gin_channels, name="backbone")(x, g)
         y_mb = _SubbandHead(s, self.gen_istft_n_fft, self.gen_istft_hop_size,
-                            name="head")(x)                      # (B, Band, T')
+                            self.use_pallas_istft, name="head")(x)  # (B, Band, T')
         y_mb_tl = y_mb.transpose(0, 2, 1)                        # (B, T', Band)
 
         # Zero-stuffing upsample x s (scaled by s): (B, T', s) -> (B, s*T', s)
@@ -221,5 +233,6 @@ def build_decoder(model_cfg) -> nn.Module:
         gen_istft_hop_size=model_cfg.gen_istft_hop_size,
         subbands=model_cfg.subbands,
         gin_channels=model_cfg.gin_channels,
+        use_pallas_istft=getattr(model_cfg, "use_pallas_istft", False),
         name="dec",
     )

@@ -67,7 +67,9 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None) -> None:
 
     global_step = int(jax.device_get(state.step))
     base_key = jax.random.PRNGKey(cfg.train.seed + 17)
-    epoch0 = 1
+    # Resume epoch from the step counter (reference train.py:66 reconstructs
+    # global_step from the epoch; we store the step and derive the epoch).
+    epoch0 = global_step // max(1, len(loader)) + 1
     t_last = time.perf_counter()
 
     for epoch in range(epoch0, cfg.train.epochs + 1):

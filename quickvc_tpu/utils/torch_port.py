@@ -107,7 +107,9 @@ def _resblock(sd, prefix: str) -> dict:
 
 def port_generator(sd: Mapping[str, np.ndarray], model_cfg) -> dict:
     """Reference SynthesizerTrn state dict -> quickvc_tpu generator params."""
-    n_flows = 4
+    n_flows = getattr(model_cfg, "n_flows", 4)
+    enc_layers = getattr(model_cfg, "enc_wn_layers", 16)
+    flow_layers = getattr(model_cfg, "flow_wn_layers", 4)
     num_kernels = len(model_cfg.resblock_kernel_sizes)
     num_ups = len(model_cfg.upsample_rates)
 
@@ -117,7 +119,7 @@ def port_generator(sd: Mapping[str, np.ndarray], model_cfg) -> dict:
         tp = f"flow.flows.{2 * i}"
         flow[f"flow_{i}"] = {
             "pre": _plain_conv(sd, f"{tp}.pre"),
-            "enc": _wavenet(sd, f"{tp}.enc", 4, True),
+            "enc": _wavenet(sd, f"{tp}.enc", flow_layers, True),
             "post": _plain_conv(sd, f"{tp}.post"),
         }
 
@@ -149,8 +151,8 @@ def port_generator(sd: Mapping[str, np.ndarray], model_cfg) -> dict:
             dec["multistream_conv_post"] = _wn_conv(sd, "dec.multistream_conv_post", bias=False)
 
     return {
-        "enc_q": _cond_normal(sd, "enc_q", 16, True),
-        "enc_p": _cond_normal(sd, "enc_p", 16, False),
+        "enc_q": _cond_normal(sd, "enc_q", enc_layers, True),
+        "enc_p": _cond_normal(sd, "enc_p", enc_layers, False),
         "flow": flow,
         "enc_spk": {
             "lstm": lstm,

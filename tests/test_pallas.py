@@ -1,0 +1,32 @@
+"""Pallas kernel equivalence tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from quickvc_tpu.dsp.istft import polar_inverse_stft
+
+
+def _pallas_interpret(fn, *args, **kwargs):
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        return fn(*args, **kwargs)
+
+
+@pytest.mark.parametrize("shape", [(2, 41), (3, 128), (1, 513)])
+def test_fused_istft_matches_xla(rng, shape):
+    from quickvc_tpu.ops.fused_istft import polar_inverse_stft_pallas
+
+    b, f = shape
+    log_mag = rng.standard_normal((b, f, 9)).astype(np.float32) * 0.5
+    phase = rng.standard_normal((b, f, 9)).astype(np.float32)
+
+    golden = np.asarray(polar_inverse_stft(jnp.asarray(log_mag), jnp.asarray(phase), 16, 4))
+    ours = np.asarray(_pallas_interpret(
+        polar_inverse_stft_pallas, jnp.asarray(log_mag), jnp.asarray(phase), 16, 4))
+    assert ours.shape == golden.shape == (b, (f - 1) * 4)
+    np.testing.assert_allclose(ours, golden, atol=2e-5, rtol=1e-4)

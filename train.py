@@ -16,7 +16,14 @@ def main():
     parser.add_argument("-mr", "--modelroot", type=str, default="./logs")
     parser.add_argument("--max-steps", type=int, default=None,
                         help="stop after N steps (smoke runs)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: call jax.distributed.initialize() "
+                             "(set JAX coordinator env vars per host)")
     args = parser.parse_args()
+
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
 
     cfg = get_config(args.config, args.model, args.modelroot)
 
