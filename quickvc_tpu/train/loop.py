@@ -31,7 +31,8 @@ BUCKET_BOUNDARIES = [32, 40, 50, 60, 70, 80, 90, 100, 110, 120, 160, 200, 230,
                      260, 300, 350, 400, 450, 500, 600, 700, 800, 900, 1000]
 
 
-def run(cfg: QuickVCConfig, max_steps: int | None = None) -> None:
+def run(cfg: QuickVCConfig, max_steps: int | None = None,
+        profile_steps: int = 0) -> None:
     logger = get_logger(cfg.model_dir)
     writer = Summarizer(cfg.model_dir)
     writer_eval = Summarizer(cfg.model_dir + "/eval")
@@ -72,6 +73,7 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None) -> None:
     epoch0 = global_step // max(1, len(loader)) + 1
     t_last = time.perf_counter()
 
+    profiling = False
     for epoch in range(epoch0, cfg.train.epochs + 1):
         sampler.set_epoch(epoch)
         # Per-epoch exponential decay (reference train.py:71-72,80-81) via the
@@ -80,6 +82,15 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None) -> None:
         state.g_opt.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         state.d_opt.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         for batch in loader:
+            # Profiling harness (reference has only a commented-out profiler,
+            # train.py:109-115): trace [5, 5 + profile_steps) after warmup.
+            if profile_steps and global_step == 5 and not profiling:
+                jax.profiler.start_trace(cfg.model_dir + "/profile")
+                profiling = True
+            if profiling and global_step == 5 + profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("profile trace written to %s/profile", cfg.model_dir)
             batch = jax.device_put(
                 {k: jnp.asarray(v) for k, v in batch.items()}, bsh)
             rng = jax.random.fold_in(base_key, global_step)
@@ -90,9 +101,20 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None) -> None:
                 m = jax.device_get(metrics)
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
+                g_total = float(m["loss/g/total"])
+                d_total = float(m["loss/d/total"])
+                # Failure detection: a non-finite loss means the run is
+                # diverging — stop now rather than writing poisoned
+                # checkpoints (resume picks up the last good one).
+                if not (np.isfinite(g_total) and np.isfinite(d_total)):
+                    ckpt.wait()
+                    raise FloatingPointError(
+                        f"non-finite loss at step {global_step}: "
+                        f"g={g_total} d={d_total}; restart resumes from the "
+                        f"last finite checkpoint")
                 logger.info("epoch %d step %d lr %.3e | g %.3f d %.3f mel %.3f kl %.3f "
                             "(%.2f s since last log)", epoch, global_step, lr,
-                            float(m["loss/g/total"]), float(m["loss/d/total"]),
+                            g_total, d_total,
                             float(m["loss/g/mel"]), float(m["loss/g/kl"]), dt)
                 writer.scalars(global_step, m)
             if cfg.train.eval_interval and global_step % cfg.train.eval_interval == 0:

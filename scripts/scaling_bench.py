@@ -1,0 +1,98 @@
+"""Data-parallel scaling benchmark: step time vs mesh size.
+
+Measures the jitted GAN training step at data-parallel widths 1..N on the
+available devices (real chips, or virtual CPU devices via
+``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu``)
+with a fixed per-device batch (weak scaling). Reports step time and
+scaling efficiency vs the 1-device baseline — the harness for the
+BASELINE.md ">=90% efficiency 1 -> 2 hosts" target once multi-host
+hardware is available.
+
+    python scripts/scaling_bench.py [--per-device-batch 8] [--small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--per-device-batch", type=int, default=8)
+    parser.add_argument("--frames", type=int, default=40)
+    parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--small", action="store_true",
+                        help="reduced model depths (CPU-friendly)")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from quickvc_tpu.config import QuickVCConfig
+    from quickvc_tpu.dsp.mel import mel_filterbank
+    from quickvc_tpu.parallel import batch_sharding, data_parallel_mesh, replicated
+    from quickvc_tpu.train import create_train_state, make_train_step
+
+    cfg = QuickVCConfig()
+    cfg.train.precision = "f32"
+    if args.small:
+        cfg.train.segment_size = 2560
+        cfg.train.disc_width = 0.25
+        cfg.model.enc_wn_layers = 4
+        cfg.model.flow_wn_layers = 2
+        cfg.model.n_flows = 2
+        cfg.model.upsample_initial_channel = 128
+        cfg.model.resblock_kernel_sizes = (3,)
+        cfg.model.resblock_dilation_sizes = ((1, 3, 5),)
+
+    n_dev = jax.device_count()
+    state0, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(0))
+    basis = jnp.asarray(mel_filterbank(cfg.data.sampling_rate, cfg.data.filter_length,
+                                       cfg.data.n_mel_channels))
+    rng = np.random.default_rng(0)
+
+    widths = [w for w in (1, 2, 4, 8, 16) if w <= n_dev]
+    results = {}
+    base = None
+    for w in widths:
+        mesh = data_parallel_mesh(w)
+        rep, bsh = replicated(mesh), batch_sharding(mesh)
+        b = args.per_device_batch * w
+        batch = {
+            "unit": jnp.asarray(rng.standard_normal((b, args.frames, cfg.model.unit_channels)).astype(np.float32)),
+            "spec": jnp.asarray(np.abs(rng.standard_normal((b, args.frames, cfg.spec_channels))).astype(np.float32)),
+            "wave": jnp.asarray(rng.standard_normal((b, args.frames * cfg.data.hop_length, 1)).astype(np.float32) * 0.1),
+        }
+        state = jax.device_put(state0, rep)
+        batch = jax.device_put(batch, bsh)
+        step = jax.jit(make_train_step(cfg, net_g, net_d, basis),
+                       in_shardings=(rep, bsh, rep), out_shardings=(rep, rep))
+        with mesh:
+            state, m = step(state, batch, jax.random.PRNGKey(1))  # compile
+            jax.block_until_ready(m["loss/g/total"])
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                state, m = step(state, batch, jax.random.PRNGKey(2 + i))
+            jax.block_until_ready(m["loss/g/total"])
+        dt = (time.perf_counter() - t0) / args.iters
+        eff = (base / dt) if base is not None else 1.0
+        if base is None:
+            base = dt
+        results[w] = {"step_s": round(dt, 4), "weak_scaling_eff": round(eff, 3),
+                      "global_batch": b}
+        print(f"dp={w}: {dt*1e3:.1f} ms/step, weak-scaling eff {eff:.2%}",
+              file=sys.stderr)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

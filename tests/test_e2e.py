@@ -102,3 +102,42 @@ def test_pipeline_trains_and_infers(synth_dataset, rng):
     wave = net_g.apply(params, unit, g_vec, 0.0, method=SynthesizerTrn.infer)
     assert wave.shape == (1, (f - 1) * cfg.data.hop_length, 1)
     assert np.isfinite(np.asarray(wave)).all()
+
+
+def test_bucket_sampler_rank_sharding():
+    """Multi-host batches partition a global batch disjointly per rank."""
+    from quickvc_tpu.data import BucketSampler
+
+    lengths = list(range(40, 120))  # 80 items, lengths 40..119
+    boundaries = [32, 70, 100, 200]
+    samplers = [BucketSampler(lengths, batch_size=4, boundaries=boundaries,
+                              shuffle=True, num_replicas=2, rank=r) for r in range(2)]
+    for s in samplers:
+        s.set_epoch(3)
+    b0 = list(samplers[0])
+    b1 = list(samplers[1])
+    assert len(b0) == len(b1) == len(samplers[0])
+    for (k0, idx0), (k1, idx1) in zip(b0, b1):
+        assert k0 == k1                      # same bucket order on every rank
+        assert len(idx0) == len(idx1) == 4
+        assert not (set(idx0) & set(idx1))   # disjoint halves of the global batch
+        lo = samplers[0].bucket_lo[k0]
+        for i in idx0 + idx1:                # all items belong to the bucket
+            assert lengths[i] > lo
+
+
+def test_directory_corpus_mode(tmp_path, rng):
+    """Directory datasets: per-speaker last-utterance eval split."""
+    from quickvc_tpu.data.dataset import load_filepaths
+    from quickvc_tpu.data.audio_io import write_wav_int16
+
+    for spk in ("alpha", "beta"):
+        for u in range(3):
+            p = tmp_path / spk / f"utt{u}.wav"
+            p.parent.mkdir(exist_ok=True)
+            write_wav_int16(str(p), np.zeros(1600, np.float32), 16000)
+    train = load_filepaths(str(tmp_path), "train")
+    evals = load_filepaths(str(tmp_path), "eval")
+    assert len(train) == 4 and len(evals) == 2
+    assert not (set(train) & set(evals))
+    assert all(p.endswith("utt2.wav") for p in evals)

@@ -19,6 +19,9 @@ def main():
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: call jax.distributed.initialize() "
                              "(set JAX coordinator env vars per host)")
+    parser.add_argument("--profile-steps", type=int, default=0,
+                        help="capture an XLA trace of N steps into "
+                             "model_dir/profile (view in TensorBoard)")
     args = parser.parse_args()
 
     if args.distributed:
@@ -28,7 +31,7 @@ def main():
     cfg = get_config(args.config, args.model, args.modelroot)
 
     from quickvc_tpu.train.loop import run
-    run(cfg, max_steps=args.max_steps)
+    run(cfg, max_steps=args.max_steps, profile_steps=args.profile_steps)
 
 
 if __name__ == "__main__":
