@@ -71,6 +71,11 @@ def main():
     parser.add_argument("--use_timestamp", default=False, action="store_true")
     parser.add_argument("--noise-scale", type=float, default=1.0,
                         help="prior sampling noise (0 = deterministic)")
+    parser.add_argument("--streaming", action="store_true",
+                        help="chunked lax.scan synthesis: one compile for any "
+                             "utterance length, constant memory")
+    parser.add_argument("--chunk-frames", type=int, default=96)
+    parser.add_argument("--context-frames", type=int, default=48)
     args = parser.parse_args()
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -86,10 +91,22 @@ def main():
                                        cfg.data.mel_fmin, cfg.data.mel_fmax))
 
     units_fn = jax.jit(lambda p, w: hubert.apply(p, w, method=HubertSoft.units))
-    infer_fn = jax.jit(lambda p, u, g: net_g.apply(
-        {"params": p}, u, g, args.noise_scale, method=SynthesizerTrn.infer))
     embed_fn = jax.jit(lambda p, m: net_g.apply(
         {"params": p}, m, method=SynthesizerTrn.embed_speaker))
+    if args.streaming:
+        from quickvc_tpu.infer import streaming_infer
+
+        def _infer(p, u, g, key):
+            return streaming_infer(net_g, p, u, g, hop_length=cfg.data.hop_length,
+                                   chunk=args.chunk_frames,
+                                   context=args.context_frames,
+                                   noise_scale=args.noise_scale, rng=key)[..., None]
+    else:
+        def _infer(p, u, g, key):
+            rngs = {"sample": key} if args.noise_scale != 0.0 else {}
+            return net_g.apply({"params": p}, u, g, args.noise_scale,
+                               method=SynthesizerTrn.infer, rngs=rngs)
+    infer_fn = jax.jit(_infer)
 
     with open(args.txtpath) as f:
         pairs = [line.strip().split("|") for line in f if line.strip()]
@@ -108,9 +125,7 @@ def main():
         g_vec = embed_utterance_batch(embed_fn, g_params, mel_tgt)
         unit = units_fn(h_params, jnp.asarray(wav_src[None]))
         key, sub = jax.random.split(key)
-        audio = infer_fn(g_params, unit, g_vec) if args.noise_scale == 0.0 else net_g.apply(
-            {"params": g_params}, unit, g_vec, args.noise_scale,
-            method=SynthesizerTrn.infer, rngs={"sample": sub})
+        audio = infer_fn(g_params, unit, g_vec, sub)
         audio = np.asarray(audio[0, :, 0], dtype=np.float32)
 
         name = f"{time.strftime('%m-%d_%H-%M')}_{title}.wav" if args.use_timestamp else f"{title}.wav"

@@ -36,6 +36,7 @@ def streaming_infer(
     chunk: int = 96,           # frames synthesized per step
     context: int = 48,         # context frames on each side
     noise_scale: float = 0.0,
+    rng: jax.Array | None = None,   # needed when noise_scale != 0
 ) -> jax.Array:
     """Chunked synthesis: returns (B, F * hop_length) waveform."""
     b, f, c = unit.shape
@@ -45,11 +46,14 @@ def streaming_infer(
     unit_p = jnp.pad(unit, [(0, 0), (context, padded_f - f + context), (0, 0)])
 
     window = chunk + 2 * context
+    if noise_scale != 0.0 and rng is None:
+        rng = jax.random.PRNGKey(0)
 
     def body(carry, i):
         win = jax.lax.dynamic_slice(unit_p, (0, i * chunk, 0), (b, window, c))
+        rngs = {"sample": jax.random.fold_in(rng, i)} if rng is not None else {}
         wave = net.apply({"params": params}, win, g_vec, noise_scale,
-                         method=SynthesizerTrn.infer)       # (B, window*hop, 1)
+                         method=SynthesizerTrn.infer, rngs=rngs)  # (B, window*hop, 1)
         out = jax.lax.dynamic_slice(
             wave[..., 0], (0, context * hop_length), (b, chunk * hop_length))
         return carry, out

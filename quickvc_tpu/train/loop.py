@@ -73,6 +73,18 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
     epoch0 = global_step // max(1, len(loader)) + 1
     t_last = time.perf_counter()
 
+    def device_batches(host_iter):
+        """Prefetch: overlap host->device transfer with the running step."""
+        pending = None
+        for host_batch in host_iter:
+            nxt = jax.device_put(
+                {k: jnp.asarray(v) for k, v in host_batch.items()}, bsh)
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
+
     profiling = False
     for epoch in range(epoch0, cfg.train.epochs + 1):
         sampler.set_epoch(epoch)
@@ -81,7 +93,7 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
         lr = cfg.train.learning_rate * (cfg.train.lr_decay ** (epoch - 1))
         state.g_opt.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         state.d_opt.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-        for batch in loader:
+        for batch in device_batches(loader):
             # Profiling harness (reference has only a commented-out profiler,
             # train.py:109-115): trace [5, 5 + profile_steps) after warmup.
             if profile_steps and global_step == 5 and not profiling:
@@ -91,8 +103,6 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.info("profile trace written to %s/profile", cfg.model_dir)
-            batch = jax.device_put(
-                {k: jnp.asarray(v) for k, v in batch.items()}, bsh)
             rng = jax.random.fold_in(base_key, global_step)
             with mesh:
                 state, metrics = step_fn(state, batch, rng)

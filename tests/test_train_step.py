@@ -83,3 +83,18 @@ class TestTrainStep:
         s1, m1 = step(state, batch, jax.random.PRNGKey(7))
         s2, m2 = step(state, batch, jax.random.PRNGKey(7))
         np.testing.assert_allclose(float(m1["loss/g/total"]), float(m2["loss/g/total"]), rtol=1e-6)
+
+    def test_bf16_precision_step(self, rng):
+        """bf16 compute policy: losses finite, params still f32."""
+        cfg = tiny_config()
+        cfg.train.precision = "bf16"
+        state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(0))
+        basis = jnp.asarray(mel_filterbank(cfg.data.sampling_rate, cfg.data.filter_length,
+                                           cfg.data.n_mel_channels))
+        step = jax.jit(make_train_step(cfg, net_g, net_d, basis))
+        batch = make_batch(cfg, rng)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss/g/total"]))
+        assert np.isfinite(float(metrics["loss/d/total"]))
+        dtypes = {p.dtype for p in jax.tree.leaves(new_state.g_params)}
+        assert dtypes == {np.dtype(np.float32)}
