@@ -147,6 +147,7 @@ def evaluate(global_step: int, cfg: QuickVCConfig, net_g: SynthesizerTrn,
     from quickvc_tpu.models.encoders import embed_utterance_batch
 
     params = {"params": state.g_params}
+    mel_l1s = []
     for i in range(min(max_items, len(eval_ds))):
         item = eval_ds[i]
         unit = jnp.asarray(item["unit"][None])              # (1, F, 256)
@@ -168,4 +169,10 @@ def evaluate(global_step: int, cfg: QuickVCConfig, net_g: SynthesizerTrn,
             f"gen/audio_{i}": np.asarray(y_hat[0, :, 0]),
             f"gt/audio_{i}": item["wave"][:, 0],
         }, cfg.data.sampling_rate)
+        # Reconstruction quality metric: log-mel L1 between the generated
+        # audio and the source mel (the quantity BASELINE.md gates on).
+        nmin = min(y_hat_mel.shape[1], mel.shape[1])
+        mel_l1s.append(float(jnp.mean(jnp.abs(y_hat_mel[:, :nmin] - mel[:, :nmin]))))
+    if mel_l1s:
+        writer.scalars(global_step, {"eval/mel_l1": float(np.mean(mel_l1s))})
     writer.flush()

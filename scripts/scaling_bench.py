@@ -31,6 +31,7 @@ def main():
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--small", action="store_true",
                         help="reduced model depths (CPU-friendly)")
+    parser.add_argument("--precision", choices=["f32", "bf16"], default="f32")
     args = parser.parse_args()
 
     import jax
@@ -42,7 +43,7 @@ def main():
     from quickvc_tpu.train import create_train_state, make_train_step
 
     cfg = QuickVCConfig()
-    cfg.train.precision = "f32"
+    cfg.train.precision = args.precision
     if args.small:
         cfg.train.segment_size = 2560
         cfg.train.disc_width = 0.25
