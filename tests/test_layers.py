@@ -186,3 +186,67 @@ def test_wavenet_port_matches_torch_recurrence(rng):
                    jnp.asarray(g.numpy().transpose(0, 2, 1)))
     np.testing.assert_allclose(np.asarray(ours).transpose(0, 2, 1), golden,
                                atol=1e-5, rtol=1e-4)
+
+
+def test_coupling_layer_port_matches_torch(rng):
+    """Shift-only coupling: split order, WN conditioning, zero-post, flip.
+
+    Torch side built from primitives with the reference's recurrence
+    (modules.py:199-224); ported through torch_port helpers.
+    """
+    from quickvc_tpu.models.modules import ResidualCouplingLayer, flip_features
+    from quickvc_tpu.utils.torch_port import _plain_conv, _wavenet, to_jax
+
+    ch, h, L, gin, b, t = 8, 12, 3, 6, 2, 10
+    half = ch // 2
+    pre = torch.nn.Conv1d(half, h, 1)
+    post = torch.nn.Conv1d(h, half, 1)   # NOT zeroed: exercises real math
+    cond = torch.nn.utils.weight_norm(torch.nn.Conv1d(gin, 2 * h * L, 1))
+    ins = [torch.nn.utils.weight_norm(torch.nn.Conv1d(h, 2 * h, 5, padding="same"))
+           for _ in range(L)]
+    rss = [torch.nn.utils.weight_norm(torch.nn.Conv1d(h, 2 * h if i < L - 1 else h, 1))
+           for i in range(L)]
+
+    x = torch.from_numpy(rng.standard_normal((b, ch, t)).astype(np.float32))
+    g = torch.from_numpy(rng.standard_normal((b, gin, 1)).astype(np.float32))
+    with torch.no_grad():
+        x0, x1 = x[:, :half], x[:, half:]
+        hh = pre(x0)
+        g_all = cond(g)
+        out = torch.zeros_like(hh)
+        for i in range(L):
+            xi = ins[i](hh) + g_all[:, 2 * h * i : 2 * h * (i + 1)]
+            acts = torch.tanh(xi[:, :h]) * torch.sigmoid(xi[:, h:])
+            rs = rss[i](acts)
+            if i < L - 1:
+                hh = hh + rs[:, :h]
+                out = out + rs[:, h:]
+            else:
+                out = out + rs
+        m = post(out)
+        golden = torch.flip(torch.cat([x0, x1 + m], dim=1), [1]).numpy()
+
+    sd = {}
+    for name, mod in [("pre", pre), ("post", post)]:
+        sd[f"c.{name}.weight"] = mod.weight.detach().numpy()
+        sd[f"c.{name}.bias"] = mod.bias.detach().numpy()
+    sd["c.enc.cond_layer.weight_v"] = cond.weight_v.detach().numpy()
+    sd["c.enc.cond_layer.weight_g"] = cond.weight_g.detach().numpy()
+    sd["c.enc.cond_layer.bias"] = cond.bias.detach().numpy()
+    for i, (a, r) in enumerate(zip(ins, rss)):
+        for key, mod in [(f"c.enc.in_layers.{i}", a), (f"c.enc.res_skip_layers.{i}", r)]:
+            sd[f"{key}.weight_v"] = mod.weight_v.detach().numpy()
+            sd[f"{key}.weight_g"] = mod.weight_g.detach().numpy()
+            sd[f"{key}.bias"] = mod.bias.detach().numpy()
+
+    params = to_jax({
+        "pre": _plain_conv(sd, "c.pre"),
+        "enc": _wavenet(sd, "c.enc", L, True),
+        "post": _plain_conv(sd, "c.post"),
+    })
+    layer = ResidualCouplingLayer(ch, h, 5, L, gin)
+    y = layer.apply({"params": params},
+                    jnp.asarray(x.numpy().transpose(0, 2, 1)),
+                    jnp.asarray(g.numpy().transpose(0, 2, 1)))
+    ours = np.asarray(flip_features(y)).transpose(0, 2, 1)
+    np.testing.assert_allclose(ours, golden, atol=2e-5, rtol=1e-3)

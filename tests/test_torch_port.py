@@ -13,6 +13,7 @@ available offline.)
 
 import numpy as np
 import pytest
+import torch
 
 import jax
 import jax.numpy as jnp
@@ -171,3 +172,73 @@ def test_discriminator_port_applies(rng):
     logits_r, logits_g, _, _ = net.apply({"params": ported}, y, y)
     assert len(logits_r) == 6
     assert all(np.isfinite(np.asarray(l)).all() for l in logits_r)
+
+
+class TorchDiscS(torch.nn.Module):
+    """Scale-discriminator replica with the reference's conv stack shapes."""
+
+    def __init__(self):
+        super().__init__()
+        wn = torch.nn.utils.weight_norm
+        self.convs = torch.nn.ModuleList([
+            wn(torch.nn.Conv1d(1, 16, 15, 1, padding=7)),
+            wn(torch.nn.Conv1d(16, 64, 41, 4, groups=4, padding=20)),
+            wn(torch.nn.Conv1d(64, 256, 41, 4, groups=16, padding=20)),
+            wn(torch.nn.Conv1d(256, 1024, 41, 4, groups=64, padding=20)),
+            wn(torch.nn.Conv1d(1024, 1024, 41, 4, groups=256, padding=20)),
+            wn(torch.nn.Conv1d(1024, 1024, 5, 1, padding=2)),
+        ])
+        self.conv_post = wn(torch.nn.Conv1d(1024, 1, 3, 1, padding=1))
+
+    def forward(self, x):
+        for c in self.convs:
+            x = torch.nn.functional.leaky_relu(c(x), 0.1)
+        return self.conv_post(x)
+
+
+class TorchDiscP(torch.nn.Module):
+    """Period-discriminator replica (reshape to (T/p, p) + (5,1) conv stack)."""
+
+    def __init__(self, period):
+        super().__init__()
+        self.period = period
+        wn = torch.nn.utils.weight_norm
+        chans = [(1, 32), (32, 128), (128, 512), (512, 1024)]
+        self.convs = torch.nn.ModuleList(
+            [wn(torch.nn.Conv2d(i, o, (5, 1), (3, 1), padding=(2, 0))) for i, o in chans]
+            + [wn(torch.nn.Conv2d(1024, 1024, (5, 1), 1, padding=(2, 0)))])
+        self.conv_post = wn(torch.nn.Conv2d(1024, 1, (3, 1), 1, padding=(1, 0)))
+
+    def forward(self, x):
+        b, c, t = x.shape
+        p = self.period
+        if t % p:
+            x = torch.nn.functional.pad(x, (0, p - t % p), "reflect")
+            t = x.shape[-1]
+        x = x.view(b, c, t // p, p)
+        for conv in self.convs:
+            x = torch.nn.functional.leaky_relu(conv(x), 0.1)
+        return self.conv_post(x)
+
+
+def test_discriminator_numeric_parity(rng):
+    """Ported torch weights reproduce exact per-discriminator logits."""
+    from quickvc_tpu.models.discriminators import DiscriminatorP, DiscriminatorS
+
+    x = rng.standard_normal((1, 1, 3000)).astype(np.float32) * 0.2
+    xt = torch.from_numpy(x)
+    xj = jnp.asarray(x.transpose(0, 2, 1))
+
+    ts = TorchDiscS().eval()
+    tp = TorchDiscP(3).eval()  # period 3 exercises the reflect pad
+    sd = {f"discriminators.0.{k}": v.detach().numpy() for k, v in ts.state_dict().items()}
+    sd |= {f"discriminators.1.{k}": v.detach().numpy() for k, v in tp.state_dict().items()}
+    ported = to_jax(port_discriminator(sd, periods=(3,)))
+
+    with torch.no_grad():
+        golden_s = ts(xt).flatten(1).numpy()
+        golden_p = tp(xt).flatten(1).numpy()
+    logits_s, _ = DiscriminatorS().apply({"params": ported["disc_s"]}, xj)
+    np.testing.assert_allclose(np.asarray(logits_s), golden_s, atol=2e-4, rtol=1e-3)
+    logits_p, _ = DiscriminatorP(3).apply({"params": ported["disc_p3"]}, xj)
+    np.testing.assert_allclose(np.asarray(logits_p), golden_p, atol=2e-4, rtol=1e-3)
