@@ -98,3 +98,40 @@ class TestTrainStep:
         assert np.isfinite(float(metrics["loss/d/total"]))
         dtypes = {p.dtype for p in jax.tree.leaves(new_state.g_params)}
         assert dtypes == {np.dtype(np.float32)}
+
+
+class TestTensorParallel:
+    def test_2d_mesh_tp_step(self, rng):
+        """('data','model') mesh: wide kernels channel-sharded, step runs.
+
+        GSPMD inserts the collectives; this validates the full train step
+        compiles and produces finite losses under the TP layout.
+        """
+        from quickvc_tpu.parallel.tp import (
+            batch_sharding_2d, mesh_2d, state_shardings)
+
+        assert jax.device_count() >= 8
+        cfg = tiny_config()
+        mesh = mesh_2d(data=2, model=4)
+        state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(0))
+        basis = jnp.asarray(mel_filterbank(cfg.data.sampling_rate, cfg.data.filter_length,
+                                           cfg.data.n_mel_channels))
+        st_sh = state_shardings(mesh, state, min_channels=16)
+        bsh = batch_sharding_2d(mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+
+        state = jax.device_put(state, st_sh)
+        batch = jax.device_put(make_batch(cfg, rng, batch=4), bsh)
+        step = jax.jit(make_train_step(cfg, net_g, net_d, basis),
+                       in_shardings=(st_sh, bsh, rep),
+                       out_shardings=(st_sh, rep))
+        with mesh:
+            new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss/g/total"]))
+        assert np.isfinite(float(metrics["loss/d/total"]))
+        # at least one param leaf is actually sharded over 'model'
+        specs = jax.tree.leaves(jax.tree.map(
+            lambda x: x.sharding.spec, new_state.g_params,
+            is_leaf=lambda x: hasattr(x, "sharding")))
+        assert any("model" in str(s) for s in specs)
