@@ -37,6 +37,13 @@ def load_generator_params(path: str, cfg):
     if path.endswith((".pth", ".pt")):
         from quickvc_tpu.utils.torch_port import load_torch_state_dict, port_generator, to_jax
         return to_jax(port_generator(load_torch_state_dict(path), cfg.model))
+    if path.endswith(".msgpack"):  # scripts/export_params.py artifact
+        import flax.serialization
+        from quickvc_tpu.train.state import create_train_state
+        state, _, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+        with open(path, "rb") as f:
+            return flax.serialization.from_bytes(jax.device_get(state.g_params),
+                                                 f.read())
     # orbax checkpoint dir -> restore TrainState and take g_params
     from quickvc_tpu.train.state import create_train_state
     from quickvc_tpu.utils.checkpoint import CheckpointManager
