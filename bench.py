@@ -65,7 +65,10 @@ def time_case(chained, u, g):
 
 
 def main():
-    batch, frames = 8, 500  # 8 utterances x 10 s @ 50 Hz units
+    # Serving batch: 32 x 10 s utterances. The decoder is latency-bound at
+    # small batches (b=8: 3.3k x rt; b=32: 11k x rt — scripts/infer_breakdown.py);
+    # production serving batches, so the headline number does too.
+    batch, frames = 32, 500
     rng = np.random.default_rng(0)
     unit = jnp.asarray(rng.standard_normal((batch, frames, 256)).astype(np.float32))
     g_vec = jnp.asarray(rng.standard_normal((batch, 256)).astype(np.float32))
