@@ -58,6 +58,15 @@ def load_generator_params(path: str, cfg):
 
 
 def load_hubert_params(path: str):
+    if path.endswith(".msgpack"):  # torch-free artifact (scripts/export_params.py)
+        import flax.serialization
+        from quickvc_tpu.models.hubert import HubertSoft
+        hubert = HubertSoft()
+        abstract = jax.eval_shape(
+            lambda: hubert.init(jax.random.PRNGKey(0), jnp.zeros((1, 16080))))
+        with open(path, "rb") as f:
+            params = flax.serialization.from_bytes(abstract["params"], f.read())
+        return {"params": jax.tree.map(jnp.asarray, params)}
     import torch
     from quickvc_tpu.utils.hubert_port import port_hubert
     from quickvc_tpu.utils.torch_port import to_jax

@@ -19,9 +19,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model-dir", required=True,
+    parser.add_argument("--model-dir", default=None,
                         help="training dir containing config.json + checkpoints/")
-    parser.add_argument("--out", required=True)
+    parser.add_argument("--out", default=None)
+    parser.add_argument("--hubert-in", default=None,
+                        help="torch HuBERT-soft checkpoint to convert")
+    parser.add_argument("--hubert-out", default=None,
+                        help="write HuBERT params as msgpack (torch-free serving)")
     args = parser.parse_args()
 
     import flax.serialization
@@ -31,6 +35,17 @@ def main():
     from quickvc_tpu.train.state import create_train_state
     from quickvc_tpu.utils.checkpoint import CheckpointManager
 
+    if args.hubert_in:
+        assert args.hubert_out, "--hubert-in requires --hubert-out"
+        from convert import load_hubert_params
+        h_vars = load_hubert_params(args.hubert_in)
+        with open(args.hubert_out, "wb") as f:
+            f.write(flax.serialization.to_bytes(jax.device_get(h_vars["params"])))
+        print(f"exported HuBERT params to {args.hubert_out}")
+        if not args.model_dir:
+            return
+
+    assert args.model_dir and args.out, "--model-dir and --out required"
     cfg = load_config(os.path.join(args.model_dir, "config.json"))
     state, _, _ = create_train_state(cfg, jax.random.PRNGKey(0))
     mgr = CheckpointManager(args.model_dir)

@@ -40,6 +40,9 @@ def main():
     parser.add_argument("--hubert", default="logs/hubert-soft.pt")
     parser.add_argument("--noise-scale", type=float, default=0.0)
     parser.add_argument("--out", default="regression_report.json")
+    parser.add_argument("--limit", type=int, default=None,
+                        help="run only the first N pairs (CPU smoke runs; "
+                             "each distinct utterance length recompiles)")
     args = parser.parse_args()
 
     import jax
@@ -74,6 +77,8 @@ def main():
 
     with open(os.path.join(ref, "convert.txt")) as f:
         pairs = [line.strip().split("|") for line in f if line.strip()]
+    if args.limit:
+        pairs = pairs[: args.limit]
 
     report = []
     for title, src, tgt in pairs:
