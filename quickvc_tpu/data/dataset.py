@@ -65,12 +65,24 @@ def load_filepaths(list_path: str, mode: str = "train") -> list[str]:
 
 
 def _compute_spec(wav: np.ndarray, cfg: QuickVCConfig) -> np.ndarray:
-    from quickvc_tpu.dsp.stft import wave_to_spec
-    import jax.numpy as jnp
+    """Linear spectrogram (Frame, Freq) — pure numpy, identical semantics to
+    dsp.stft.wave_to_spec (reflect pad (n_fft-hop)/2, Hann, center=False,
+    sqrt(power + 1e-6)). Runs on host CPU inside loader threads: using jnp
+    here would dispatch per-item work to the accelerator and contend with
+    the training step.
+    """
+    from quickvc_tpu.dsp.stft import hann_window
 
-    spec = wave_to_spec(jnp.asarray(wav[None, :]), cfg.data.filter_length,
-                        cfg.data.hop_length, cfg.data.win_length)
-    return np.asarray(spec[0], dtype=np.float32)  # (Frame, Freq)
+    n_fft, hop, win = cfg.data.filter_length, cfg.data.hop_length, cfg.data.win_length
+    pad = (n_fft - hop) // 2
+    y = np.pad(wav.astype(np.float32), (pad, pad), mode="reflect")
+    num_frames = 1 + (len(y) - n_fft) // hop
+    idx = np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    w = np.zeros(n_fft, np.float32)
+    off = (n_fft - win) // 2
+    w[off : off + win] = hann_window(win)
+    z = np.fft.rfft(y[idx] * w, axis=-1)
+    return np.sqrt((z.real**2 + z.imag**2 + 1e-6)).astype(np.float32)
 
 
 class UnitAudioSpecDataset:
@@ -217,10 +229,17 @@ def collate_batch(items: list[dict[str, np.ndarray]], bucket_lo: int,
 
 
 class DataLoader:
-    """Threaded prefetching loader: sampler + dataset + collate -> batches."""
+    """Prefetching loader: parallel item fetch + batch assembly off-thread.
+
+    Item loads (wav decode + spec cache + unit npy) fan out over a thread
+    pool (I/O + numpy release the GIL); assembled batches queue up ahead of
+    the consumer. At TPU step rates (~150 ms for batch 64) serial loading
+    would bottleneck the chip — the reference leans on torch DataLoader
+    subprocesses for the same reason (train.py:52).
+    """
 
     def __init__(self, dataset: UnitAudioSpecDataset, sampler: BucketSampler,
-                 cfg: QuickVCConfig, num_workers: int = 2, seed: int = 1234,
+                 cfg: QuickVCConfig, num_workers: int = 8, seed: int = 1234,
                  prefetch: int = 2):
         self.dataset = dataset
         self.sampler = sampler
@@ -233,18 +252,22 @@ class DataLoader:
         return len(self.sampler)
 
     def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
         batches = list(self.sampler)
         q: Queue = Queue(maxsize=self.prefetch)
         stop = object()
 
-        def worker():
+        def assembler():
             rng = np.random.default_rng(self.seed + self.sampler.epoch)
-            for k, idxs in batches:
-                items = [self.dataset[i] for i in idxs]
-                q.put(collate_batch(items, self.sampler.bucket_lo[k], self.cfg, rng))
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for k, idxs in batches:
+                    items = list(pool.map(self.dataset.__getitem__, idxs))
+                    q.put(collate_batch(items, self.sampler.bucket_lo[k],
+                                        self.cfg, rng))
             q.put(stop)
 
-        t = threading.Thread(target=worker, daemon=True)
+        t = threading.Thread(target=assembler, daemon=True)
         t.start()
         while True:
             item = q.get()

@@ -177,3 +177,16 @@ def test_hann_matches_torch():
     # torch computes the window in f32; ours is f64 rounded to f32 -> 1-ulp diffs
     np.testing.assert_allclose(hann_window(1280), torch.hann_window(1280).numpy(), atol=1e-6)
     np.testing.assert_allclose(hann_window(16), torch.hann_window(16).numpy(), atol=1e-6)
+
+
+def test_numpy_spec_cache_matches_jax(rng):
+    """The loader's numpy spec (dataset._compute_spec) == the jitted wave_to_spec."""
+    from quickvc_tpu.config import QuickVCConfig
+    from quickvc_tpu.data.dataset import _compute_spec
+
+    cfg = QuickVCConfig()
+    y = rng.standard_normal(16000).astype(np.float32) * 0.4
+    a = _compute_spec(y, cfg)
+    b = np.asarray(wave_to_spec(jnp.asarray(y[None]), 1280, 320, 1280))[0]
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=3e-4, rtol=3e-4)
