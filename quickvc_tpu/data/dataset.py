@@ -17,16 +17,15 @@ Reference parity (data_utils_new_new.py) with TPU-first changes:
   bucket) rather than the reference's per-batch ``min(shortest, 513)``
   (data_utils_new_new.py:202) — so every bucket produces ONE XLA shape.
 
-Spectrogram computation for the cache runs through the same JAX
-``wave_to_spec`` used on-device (on host CPU), so cache and model agree.
+Spectrogram cache computation is a pure-numpy replica of the on-device
+``wave_to_spec`` (parity-tested), so cache and model agree while loader
+threads never touch the accelerator.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
 import threading
-from dataclasses import dataclass
 from queue import Queue
 from typing import Iterator, Sequence
 
@@ -112,7 +111,6 @@ class UnitAudioSpecDataset:
         if self.cache_specs and os.path.exists(spec_path):
             spec = np.load(spec_path)
         else:
-            # Truncate to a whole number of hops like torch.stft framing does.
             spec = _compute_spec(wav, self.cfg)
             if self.cache_specs:
                 tmp = spec_path + ".tmp.npy"

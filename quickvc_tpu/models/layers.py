@@ -15,7 +15,7 @@ Weight norm follows torch ``nn.utils.weight_norm`` with ``dim=0``:
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import flax.linen as nn
 import jax

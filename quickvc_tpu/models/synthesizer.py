@@ -16,11 +16,8 @@ channels-last time-major. Waveform out (B, T, 1).
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from quickvc_tpu.config import ModelConfig
 from quickvc_tpu.models.decoders import build_decoder

@@ -23,9 +23,6 @@ gradient ``psum`` over ICI automatically.
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax

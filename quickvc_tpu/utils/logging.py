@@ -63,6 +63,10 @@ class Summarizer:
                 for i, x in enumerate(arr.ravel()):
                     self.writer.add_scalar(f"{k}/{i}", float(x), step)
 
+    def histograms(self, step: int, values: Mapping[str, np.ndarray]) -> None:
+        for k, v in values.items():
+            self.writer.add_histogram(k, np.asarray(v), step)
+
     def images(self, step: int, values: Mapping[str, np.ndarray]) -> None:
         for k, v in values.items():
             self.writer.add_image(k, v, step, dataformats="HWC")
