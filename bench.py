@@ -95,12 +95,22 @@ def main():
 
     results = {}
     chained = make_chained(infer, params, iters)
-    results["f32_xla"] = iters * audio_seconds_per_iter / time_case(chained, unit, g_vec)
 
+    # Measure the production variant FIRST and print the headline metric
+    # immediately — the remaining variants are diagnostics (stderr only),
+    # so a driver-side timeout can never lose the primary number.
     # bf16 activations (params stay f32; conv kernels are cast to the
     # activation dtype inside the layers; the iSTFT head upcasts to f32).
     results["bf16_xla"] = iters * audio_seconds_per_iter / time_case(
         chained, unit.astype(jnp.bfloat16), g_vec.astype(jnp.bfloat16))
+    print(json.dumps({
+        "metric": "synthesis_throughput",
+        "value": round(results["bf16_xla"], 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(results["bf16_xla"] / BASELINE_XRT, 3),
+    }), flush=True)
+
+    results["f32_xla"] = iters * audio_seconds_per_iter / time_case(chained, unit, g_vec)
 
     try:
         _, net_p, _ = build(use_pallas=True)
@@ -118,15 +128,8 @@ def main():
 
     for k, v in results.items():
         print(f"{k}: {v:.1f} x realtime", file=sys.stderr)
-
     best_name, best = max(results.items(), key=lambda kv: kv[1])
-    print(f"best: {best_name}", file=sys.stderr)
-    print(json.dumps({
-        "metric": "synthesis_throughput",
-        "value": round(best, 2),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(best / BASELINE_XRT, 3),
-    }))
+    print(f"best: {best_name} ({best:.1f} x realtime)", file=sys.stderr)
 
 
 if __name__ == "__main__":
