@@ -136,8 +136,12 @@ def main():
         wav_src, ssr = read_wav(src)
         wav_src = resample(wav_src, ssr, sr)
 
-        mel_tgt = wave_to_mel(jnp.asarray(wav_tgt[None]), basis, cfg.data.filter_length,
-                              cfg.data.hop_length, cfg.data.win_length)
+        # Pallas fused featurization on TPU (4x the XLA path, scripts/mel_bench.py)
+        from quickvc_tpu.ops.fused_mel import wave_to_mel_fast
+        mel_tgt = wave_to_mel_fast(jnp.asarray(wav_tgt[None]), sr,
+                                   cfg.data.filter_length, cfg.data.hop_length,
+                                   cfg.data.win_length, cfg.data.n_mel_channels,
+                                   cfg.data.mel_fmin, cfg.data.mel_fmax)
         g_vec = embed_utterance_batch(embed_fn, g_params, mel_tgt)
         unit = units_fn(h_params, jnp.asarray(wav_src[None]))
         key, sub = jax.random.split(key)

@@ -95,8 +95,11 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis):
                 y_hat2.astype(compute_dtype))
             logits_g = [l.astype(jnp.float32) for l in logits_g]
 
+            # matmul-DFT path: differentiable and ~25% faster than the
+            # fft path on TPU (scripts/mel_bench.py)
             y_hat_mel = wave_to_mel(y_hat2[..., 0], mel_basis,
-                                    cfg.data.filter_length, hop, cfg.data.win_length)
+                                    cfg.data.filter_length, hop,
+                                    cfg.data.win_length, method="matmul")
             y_mel = slice_segments(mel, ids2, seg_frames)
             loss_mel = cfg.train.c_mel * jnp.mean(jnp.abs(y_mel - y_hat_mel))
             loss_kl = cfg.train.c_kl * kl_loss(z_p, logs_q, m_p, logs_p)
