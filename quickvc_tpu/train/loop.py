@@ -19,7 +19,7 @@ import numpy as np
 from quickvc_tpu.config import QuickVCConfig
 from quickvc_tpu.data import BucketSampler, DataLoader, UnitAudioSpecDataset
 from quickvc_tpu.dsp.mel import mel_filterbank
-from quickvc_tpu.dsp.stft import spec_to_mel, wave_to_mel
+from quickvc_tpu.dsp.stft import spec_to_mel
 from quickvc_tpu.models.synthesizer import SynthesizerTrn
 from quickvc_tpu.parallel import batch_sharding, data_parallel_mesh, replicated
 from quickvc_tpu.train.state import create_train_state, param_count
@@ -159,8 +159,11 @@ def evaluate(global_step: int, cfg: QuickVCConfig, net_g: SynthesizerTrn,
             lambda p, m: net_g.apply(p, m, method=SynthesizerTrn.embed_speaker),
             params, mel)
         y_hat = net_g.apply(params, unit, g_vec, 0.0, method=SynthesizerTrn.infer)
-        y_hat_mel = wave_to_mel(y_hat[..., 0], basis, cfg.data.filter_length,
-                                cfg.data.hop_length, cfg.data.win_length)
+        from quickvc_tpu.ops.fused_mel import wave_to_mel_fast
+        y_hat_mel = wave_to_mel_fast(y_hat[..., 0], cfg.data.sampling_rate,
+                                     cfg.data.filter_length, cfg.data.hop_length,
+                                     cfg.data.win_length, cfg.data.n_mel_channels,
+                                     cfg.data.mel_fmin, cfg.data.mel_fmax)
         writer.images(global_step, {
             f"gen/mel_{i}": plot_spectrogram(np.asarray(y_hat_mel[0]).T),
             f"gt/mel_{i}": plot_spectrogram(np.asarray(mel[0]).T),

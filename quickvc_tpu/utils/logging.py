@@ -73,7 +73,18 @@ class Summarizer:
 
     def audios(self, step: int, values: Mapping[str, np.ndarray], sr: int) -> None:
         for k, v in values.items():
-            self.writer.add_audio(k, v.reshape(-1, 1), step, sample_rate=sr)
+            try:
+                self.writer.add_audio(k, v.reshape(-1, 1), step, sample_rate=sr)
+            except (ImportError, ModuleNotFoundError):
+                # tensorboardX's audio encoder needs soundfile; degrade to
+                # plain wav files next to the event logs.
+                from quickvc_tpu.data.audio_io import write_wav
+
+                out_dir = os.path.join(self.writer.logdir, "audio")
+                os.makedirs(out_dir, exist_ok=True)
+                name = k.replace("/", "_")
+                write_wav(os.path.join(out_dir, f"{name}_{step}.wav"),
+                          np.asarray(v, dtype=np.float32), sr)
 
     def flush(self) -> None:
         self.writer.flush()
