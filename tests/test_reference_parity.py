@@ -1,0 +1,153 @@
+"""Full-model differential test against the ACTUAL reference implementation.
+
+Imports the reference's torch modules from /root/reference (read-only),
+builds a small-config SynthesizerTrn there, ports its state dict through
+utils.torch_port, and checks that our inference output matches the
+reference's ``net_g.infer`` sample for sample. This validates the entire
+wiring — encoders, flow order/flips, speaker-encoder windowing, decoder
+padding arithmetic, iSTFT head, stream synthesis — against the reference
+code itself, with no pretrained weights needed.
+
+Environment shims (the reference imports things this image lacks):
+- ``torchaudio.transforms.InverseSpectrogram`` -> thin torch.istft wrapper,
+- ``scipy.signal.kaiser``   -> np.kaiser (removed in modern scipy),
+- ``torch.Tensor.cuda``     -> no-op (reference pqmf.py hardcodes .cuda()),
+- ``torch.randn_like``      -> zeros during inference, so the reference's
+  prior sample equals mu, matching our ``noise_scale=0`` path.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    """Import reference models.py with compatibility shims installed."""
+    # torchaudio shim: InverseSpectrogram(n_fft, win_length, hop_length)
+    ta = types.ModuleType("torchaudio")
+    ta_tf = types.ModuleType("torchaudio.transforms")
+
+    class InverseSpectrogram(torch.nn.Module):
+        def __init__(self, n_fft, win_length=None, hop_length=None):
+            super().__init__()
+            self.n_fft = n_fft
+            self.win_length = win_length or n_fft
+            self.hop_length = hop_length or self.win_length // 2
+            self.register_buffer("window", torch.hann_window(self.win_length))
+
+        def forward(self, spec, length=None):
+            return torch.istft(spec, self.n_fft, hop_length=self.hop_length,
+                               win_length=self.win_length, window=self.window,
+                               center=True, normalized=False, onesided=True,
+                               length=length)
+
+    ta_tf.InverseSpectrogram = InverseSpectrogram
+    ta.transforms = ta_tf
+    sys.modules.setdefault("torchaudio", ta)
+    sys.modules.setdefault("torchaudio.transforms", ta_tf)
+
+    import scipy.signal
+    if not hasattr(scipy.signal, "kaiser"):
+        scipy.signal.kaiser = lambda m, beta: np.kaiser(m, beta)
+
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
+    sys.path.insert(0, REF)
+    try:
+        import models as ref_models_mod  # noqa: F401  (reference models.py)
+    finally:
+        sys.path.remove(REF)
+        torch.Tensor.cuda = orig_cuda
+    return ref_models_mod
+
+
+SMALL_KW = dict(
+    inter_channels=16, hidden_channels=16,
+    resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3, 5]],
+    upsample_rates=[5, 4], upsample_initial_channel=32,
+    upsample_kernel_sizes=[16, 16], gen_istft_n_fft=16, gen_istft_hop_size=4,
+    subbands=4, gin_channels=16,
+)
+
+
+def _our_config(decoder: str):
+    from quickvc_tpu.config import ModelConfig
+
+    return ModelConfig(
+        ms_istft_vits=decoder == "ms", mb_istft_vits=decoder == "mb",
+        istft_vits=decoder == "istft",
+        subbands=4 if decoder != "istft" else 4,
+        inter_channels=16, hidden_channels=16,
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3, 5),),
+        upsample_rates=(5, 4), upsample_initial_channel=32,
+        upsample_kernel_sizes=(16, 16), gin_channels=16,
+        unit_channels=256,  # reference hardcodes 256 (models.py:579)
+    )
+
+
+@pytest.mark.parametrize("decoder", ["ms", "mb", "istft"])
+def test_infer_matches_reference(ref_models, rng, decoder):
+    from quickvc_tpu.models.encoders import embed_utterance_batch
+    from quickvc_tpu.models.synthesizer import SynthesizerTrn
+    from quickvc_tpu.utils.torch_port import port_generator, to_jax
+
+    torch.manual_seed(0)
+    spec_ch, seg = 33, 8
+    kw = dict(SMALL_KW)
+    kw["ms_istft_vits"] = decoder == "ms"
+    kw["mb_istft_vits"] = decoder == "mb"
+    kw["istft_vits"] = decoder == "istft"
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self  # pqmf ctor (mb decoder)
+    try:
+        ref_net = ref_models.SynthesizerTrn(spec_ch, seg, **kw).eval()
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+    f = 200  # > 128 so embed_utterance exercises the sliding windows
+    unit = rng.standard_normal((1, 256, f)).astype(np.float32) * 0.3
+    mel = rng.standard_normal((1, 80, f)).astype(np.float32) * 0.3
+
+    # Deterministic prior: reference samples z_p = mu + randn*exp(logs);
+    # zero the noise to match our noise_scale=0.
+    orig_randn_like = torch.randn_like
+    torch.randn_like = lambda x, **k: torch.zeros_like(x)
+    try:
+        with torch.no_grad():
+            golden = ref_net.infer(torch.from_numpy(unit), torch.from_numpy(mel))
+    finally:
+        torch.randn_like = orig_randn_like
+    golden = golden[0, 0].numpy() if golden.dim() == 3 else golden[0].numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref_net.state_dict().items()
+          if "stft.window" not in k and "updown_filter" not in k
+          and not k.startswith("dec.pqmf.")}
+    mc = _our_config(decoder)
+    params = to_jax(port_generator(sd, mc))
+
+    net = SynthesizerTrn(spec_channels=spec_ch, segment_size=seg, model=mc)
+    mel_tl = jnp.asarray(mel.transpose(0, 2, 1))
+    g_vec = embed_utterance_batch(
+        lambda p, m: net.apply({"params": p}, m, method=SynthesizerTrn.embed_speaker),
+        params, mel_tl)
+    wave = net.apply({"params": params}, jnp.asarray(unit.transpose(0, 2, 1)),
+                     g_vec, 0.0, method=SynthesizerTrn.infer)
+    ours = np.asarray(wave)[0, :, 0]
+
+    n = min(len(ours), len(golden))
+    assert abs(len(ours) - len(golden)) <= 64, (len(ours), len(golden))
+    scale = np.abs(golden[:n]).max() + 1e-9
+    err = np.abs(ours[:n] - golden[:n]).max() / scale
+    assert err < 5e-3, f"decoder={decoder}: rel max err {err}"
+    np.testing.assert_allclose(ours[:n], golden[:n], atol=5e-3 * scale, rtol=0)
