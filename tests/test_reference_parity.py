@@ -151,3 +151,77 @@ def test_infer_matches_reference(ref_models, rng, decoder):
     err = np.abs(ours[:n] - golden[:n]).max() / scale
     assert err < 5e-3, f"decoder={decoder}: rel max err {err}"
     np.testing.assert_allclose(ours[:n], golden[:n], atol=5e-3 * scale, rtol=0)
+
+
+@pytest.fixture(scope="module")
+def ref_losses(ref_models):
+    """Reference losses.py (torchaudio.transforms.Spectrogram shimmed)."""
+    ta_tf = sys.modules["torchaudio.transforms"]
+    if not hasattr(ta_tf, "Spectrogram"):
+        class Spectrogram(torch.nn.Module):
+            def __init__(self, n_fft, win_length=None, hop_length=None, power=2.0):
+                super().__init__()
+                self.n_fft = n_fft
+                self.win_length = win_length or n_fft
+                self.hop_length = hop_length or self.win_length // 2
+                self.power = power
+                self.register_buffer("window", torch.hann_window(self.win_length))
+
+            def forward(self, x):
+                z = torch.stft(x, self.n_fft, hop_length=self.hop_length,
+                               win_length=self.win_length, window=self.window,
+                               center=True, pad_mode="reflect", normalized=False,
+                               onesided=True, return_complex=True)
+                return z.abs() ** self.power
+
+        ta_tf.Spectrogram = Spectrogram
+    sys.path.insert(0, REF)
+    try:
+        import losses as ref_losses_mod
+    finally:
+        sys.path.remove(REF)
+    return ref_losses_mod
+
+
+def test_subband_stft_loss_matches_reference(ref_losses, rng):
+    """Our MR-STFT sub-band loss == reference losses.subband_stft_loss."""
+    from quickvc_tpu.losses import subband_stft_loss
+
+    b, t, s = 2, 1280, 4
+    y_mb = rng.standard_normal((b, s, t)).astype(np.float32) * 0.2
+    y_hat_mb = rng.standard_normal((b, s, t + 60)).astype(np.float32) * 0.2
+
+    class H:  # reference reads hps.train.{fft_sizes,hop_sizes,win_lengths}
+        class train:
+            fft_sizes = [384, 683, 171]
+            hop_sizes = [30, 60, 10]
+            win_lengths = [150, 300, 60]
+
+    golden = ref_losses.subband_stft_loss(
+        H, torch.from_numpy(y_mb), torch.from_numpy(y_hat_mb)).item()
+    ours = float(subband_stft_loss(
+        jnp.asarray(y_mb.transpose(0, 2, 1)),
+        jnp.asarray(y_hat_mb.transpose(0, 2, 1)),
+        (384, 683, 171), (30, 60, 10), (150, 300, 60)))
+    np.testing.assert_allclose(ours, golden, rtol=2e-3)
+
+
+def test_kl_and_gan_losses_match_reference(ref_losses, rng):
+    from quickvc_tpu.losses import discriminator_loss, generator_loss, kl_loss
+
+    shape = (2, 16, 20)
+    zs = [rng.standard_normal(shape).astype(np.float32) * 0.4 for _ in range(4)]
+    golden = ref_losses.kl_loss(*[torch.from_numpy(z) for z in zs]).item()
+    ours = float(kl_loss(*[jnp.asarray(z) for z in zs]))
+    np.testing.assert_allclose(ours, golden, rtol=1e-5)
+
+    reals = [rng.standard_normal((2, 40)).astype(np.float32) for _ in range(6)]
+    fakes = [rng.standard_normal((2, 40)).astype(np.float32) for _ in range(6)]
+    g_d, _, _ = ref_losses.discriminator_loss(
+        [torch.from_numpy(x) for x in reals], [torch.from_numpy(x) for x in fakes])
+    o_d, _, _ = discriminator_loss([jnp.asarray(x) for x in reals],
+                                   [jnp.asarray(x) for x in fakes])
+    np.testing.assert_allclose(float(o_d), g_d.item(), rtol=1e-5)
+    g_g, _ = ref_losses.generator_loss([torch.from_numpy(x) for x in fakes])
+    o_g, _ = generator_loss([jnp.asarray(x) for x in fakes])
+    np.testing.assert_allclose(float(o_g), g_g.item(), rtol=1e-5)
