@@ -225,3 +225,58 @@ def test_kl_and_gan_losses_match_reference(ref_losses, rng):
     g_g, _ = ref_losses.generator_loss([torch.from_numpy(x) for x in fakes])
     o_g, _ = generator_loss([jnp.asarray(x) for x in fakes])
     np.testing.assert_allclose(float(o_g), g_g.item(), rtol=1e-5)
+
+
+def test_training_path_intermediates_match_reference(ref_models, rng):
+    """Posterior encoder (speaker-conditioned WN) + FORWARD flow vs reference.
+
+    infer() only exercises the prior encoder and the reverse flow; this
+    pins the training-direction halves with zero posterior noise.
+    """
+    from quickvc_tpu.models.synthesizer import SynthesizerTrn
+    from quickvc_tpu.utils.torch_port import port_generator, to_jax
+
+    torch.manual_seed(1)
+    spec_ch, seg = 33, 8
+    kw = dict(SMALL_KW)
+    kw["ms_istft_vits"] = True
+    ref_net = ref_models.SynthesizerTrn(spec_ch, seg, **kw).eval()
+
+    f = 60
+    spec = rng.standard_normal((1, spec_ch, f)).astype(np.float32) * 0.3
+    g_cond = rng.standard_normal((1, 16, 1)).astype(np.float32) * 0.5
+
+    orig_randn_like = torch.randn_like
+    torch.randn_like = lambda x, **k: torch.zeros_like(x)
+    try:
+        with torch.no_grad():
+            z_t, m_q_t, logs_q_t = ref_net.enc_q(torch.from_numpy(spec),
+                                                 cond=torch.from_numpy(g_cond))
+            z_p_t = ref_net.flow(z_t, g=torch.from_numpy(g_cond))
+    finally:
+        torch.randn_like = orig_randn_like
+
+    sd = {k: v.detach().numpy() for k, v in ref_net.state_dict().items()
+          if "stft.window" not in k and "updown_filter" not in k}
+    mc = _our_config("ms")
+    params = to_jax(port_generator(sd, mc))
+    net = SynthesizerTrn(spec_channels=spec_ch, segment_size=seg, model=mc)
+
+    spec_tl = jnp.asarray(spec.transpose(0, 2, 1))
+    g_tl = jnp.asarray(g_cond.transpose(0, 2, 1))
+
+    def run(p, s, g):
+        bound = net.bind({"params": p})
+        z, m_q, logs_q = bound.enc_q(s, g, noise_scale=0.0)
+        z_p = bound.flow(z, g)
+        return z, m_q, logs_q, z_p
+
+    z, m_q, logs_q, z_p = run(params, spec_tl, g_tl)
+    for ours, golden, name in [
+        (m_q, m_q_t, "m_q"), (logs_q, logs_q_t, "logs_q"),
+        (z, z_t, "z"), (z_p, z_p_t, "z_p"),
+    ]:
+        o = np.asarray(ours)[0].T
+        gref = golden[0].numpy()
+        np.testing.assert_allclose(o, gref, atol=2e-4, rtol=1e-3,
+                                   err_msg=f"mismatch in {name}")
