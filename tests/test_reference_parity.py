@@ -280,3 +280,34 @@ def test_training_path_intermediates_match_reference(ref_models, rng):
         gref = golden[0].numpy()
         np.testing.assert_allclose(o, gref, atol=2e-4, rtol=1e-3,
                                    err_msg=f"mismatch in {name}")
+
+
+def test_discriminator_matches_reference(ref_models, rng):
+    """Our MPD with ported weights == the reference MultiPeriodDiscriminator."""
+    from quickvc_tpu.models.discriminators import MultiPeriodDiscriminator
+    from quickvc_tpu.utils.torch_port import port_discriminator, to_jax
+
+    torch.manual_seed(2)
+    ref_d = ref_models.MultiPeriodDiscriminator().eval()
+    y = rng.standard_normal((1, 1, 4000)).astype(np.float32) * 0.2
+    y_hat = rng.standard_normal((1, 1, 4000)).astype(np.float32) * 0.2
+    with torch.no_grad():
+        g_r, g_g, g_fr, g_fg = ref_d(torch.from_numpy(y), torch.from_numpy(y_hat))
+
+    sd = {k: v.detach().numpy() for k, v in ref_d.state_dict().items()}
+    params = to_jax(port_discriminator(sd))
+    net = MultiPeriodDiscriminator()
+    o_r, o_g, o_fr, o_fg = net.apply({"params": params},
+                                     jnp.asarray(y.transpose(0, 2, 1)),
+                                     jnp.asarray(y_hat.transpose(0, 2, 1)))
+    assert len(o_r) == len(g_r) == 6
+    for i, (ours, golden) in enumerate(zip(o_r, g_r)):
+        np.testing.assert_allclose(np.asarray(ours).reshape(-1),
+                                   golden.numpy().reshape(-1),
+                                   atol=5e-4, rtol=5e-3, err_msg=f"disc {i} real")
+    for i, (ours, golden) in enumerate(zip(o_g, g_g)):
+        np.testing.assert_allclose(np.asarray(ours).reshape(-1),
+                                   golden.numpy().reshape(-1),
+                                   atol=5e-4, rtol=5e-3, err_msg=f"disc {i} fake")
+    # feature-map counts per discriminator (used by the FM loss)
+    assert [len(f) for f in o_fr] == [len(f) for f in g_fr]
