@@ -16,6 +16,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from quickvc_tpu.models.layers import Dense, _torch_conv_init
 
@@ -81,18 +82,28 @@ def partial_slices(total_frames: int, partial_frames: int = 128, partial_hop: in
 
 
 def embed_utterance_batch(apply_fn, params, mel: jax.Array,
-                         partial_frames: int = 128, partial_hop: int = 64) -> jax.Array:
+                         partial_frames: int = 128, partial_hop: int = 64,
+                         pad_windows_to: int = 8) -> jax.Array:
     """Average d-vector over sliding partial windows (reference models.py:528-546).
 
     mel: (1, T, 80). Builds the window batch with static shapes (T is static
-    under jit) and runs one batched encoder forward.
+    under jit) and runs one batched encoder forward. The window count is
+    padded up to a multiple of ``pad_windows_to`` (repeating the last window
+    with zero weight in the mean) so serving sees a bounded set of XLA
+    shapes instead of one compile per utterance length.
     """
     t = mel.shape[1]
     last = mel[:, -partial_frames:]
     starts = partial_slices(t, partial_frames, partial_hop)
     if t > partial_frames:
         windows = [mel[0, s : s + partial_frames] for s in starts] + [last[0]]
-        batch = jnp.stack(windows, axis=0)  # (N, partial, 80)
-        embeds = apply_fn(params, batch)
-        return jnp.mean(embeds, axis=0, keepdims=True)
+        n = len(windows)
+        p = -(-n // pad_windows_to) * pad_windows_to
+        windows += [windows[-1]] * (p - n)
+        batch = jnp.stack(windows, axis=0)      # (P, partial, 80)
+        embeds = apply_fn(params, batch)        # (P, E)
+        weights = jnp.asarray(
+            np.concatenate([np.full(n, 1.0 / n, np.float32),
+                            np.zeros(p - n, np.float32)]))
+        return (weights[None, :] @ embeds)      # (1, E): exact mean over real windows
     return apply_fn(params, last)
