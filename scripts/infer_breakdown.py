@@ -56,7 +56,7 @@ def main():
 
     bound = net.bind(variables)
     report = {}
-    for batch in (1, 8, 32):
+    for batch in (32, 64, 128):
         unit = jnp.asarray(rng.standard_normal((batch, frames, 256)).astype(np.float32))
         g_vec = jnp.zeros((batch, cfg.model.gin_channels), jnp.float32)
         z = jnp.asarray(rng.standard_normal((batch, frames, cfg.model.inter_channels)).astype(np.float32))
