@@ -100,38 +100,65 @@ class TestTrainStep:
         assert dtypes == {np.dtype(np.float32)}
 
 
+TP_SCRIPT = """
+import os
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+import sys
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {testdir!r})
+from test_train_step import make_batch, tiny_config
+from quickvc_tpu.dsp.mel import mel_filterbank
+from quickvc_tpu.parallel.tp import batch_sharding_2d, mesh_2d, state_shardings
+from quickvc_tpu.train import create_train_state, make_train_step
+
+cfg = tiny_config()
+mesh = mesh_2d(data=2, model=4)
+state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(0))
+basis = jnp.asarray(mel_filterbank(cfg.data.sampling_rate, cfg.data.filter_length,
+                                   cfg.data.n_mel_channels))
+st_sh = state_shardings(mesh, state, min_channels=16)
+bsh = batch_sharding_2d(mesh)
+rep = NamedSharding(mesh, P())
+state = jax.device_put(state, st_sh)
+rng = np.random.default_rng(1234)
+batch = jax.device_put(make_batch(cfg, rng, batch=4), bsh)
+step = jax.jit(make_train_step(cfg, net_g, net_d, basis),
+               in_shardings=(st_sh, bsh, rep), out_shardings=(st_sh, rep))
+with mesh:
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+g = float(metrics["loss/g/total"]); d = float(metrics["loss/d/total"])
+assert np.isfinite(g) and np.isfinite(d), (g, d)
+specs = jax.tree.leaves(jax.tree.map(
+    lambda x: x.sharding.spec, new_state.g_params,
+    is_leaf=lambda x: hasattr(x, "sharding")))
+assert any("model" in str(s) for s in specs)
+print("TP_OK", g, d, flush=True)
+os._exit(0)  # skip interpreter teardown: XLA CPU collectives can abort there
+"""
+
+
 class TestTensorParallel:
-    def test_2d_mesh_tp_step(self, rng):
+    def test_2d_mesh_tp_step(self):
         """('data','model') mesh: wide kernels channel-sharded, step runs.
 
-        GSPMD inserts the collectives; this validates the full train step
-        compiles and produces finite losses under the TP layout.
+        Runs in a subprocess: XLA CPU's experimental multi-device
+        collectives can abort at interpreter shutdown (after the test body
+        succeeds), which would kill the whole pytest process. Success is
+        the TP_OK marker; the subprocess skips teardown via os._exit.
         """
-        from quickvc_tpu.parallel.tp import (
-            batch_sharding_2d, mesh_2d, state_shardings)
+        import os
+        import subprocess
+        import sys
 
-        assert jax.device_count() >= 8
-        cfg = tiny_config()
-        mesh = mesh_2d(data=2, model=4)
-        state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(0))
-        basis = jnp.asarray(mel_filterbank(cfg.data.sampling_rate, cfg.data.filter_length,
-                                           cfg.data.n_mel_channels))
-        st_sh = state_shardings(mesh, state, min_channels=16)
-        bsh = batch_sharding_2d(mesh)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        rep = NamedSharding(mesh, P())
-
-        state = jax.device_put(state, st_sh)
-        batch = jax.device_put(make_batch(cfg, rng, batch=4), bsh)
-        step = jax.jit(make_train_step(cfg, net_g, net_d, basis),
-                       in_shardings=(st_sh, bsh, rep),
-                       out_shardings=(st_sh, rep))
-        with mesh:
-            new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
-        assert np.isfinite(float(metrics["loss/g/total"]))
-        assert np.isfinite(float(metrics["loss/d/total"]))
-        # at least one param leaf is actually sharded over 'model'
-        specs = jax.tree.leaves(jax.tree.map(
-            lambda x: x.sharding.spec, new_state.g_params,
-            is_leaf=lambda x: hasattr(x, "sharding")))
-        assert any("model" in str(s) for s in specs)
+        repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+        script = TP_SCRIPT.format(repo=repo, testdir=os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run([sys.executable, "-c", script],
+                              capture_output=True, text=True, timeout=900)
+        assert "TP_OK" in proc.stdout, (
+            f"TP subprocess failed (rc={proc.returncode}):\n"
+            f"stdout: {proc.stdout[-2000:]}\nstderr: {proc.stderr[-2000:]}")
