@@ -10,11 +10,12 @@ Reference parity (train.py:117-162 per-step semantics):
    + 45 * mel-L1 + 1.0 * KL (+ sub-band MR-STFT for the MB decoder);
    AdamW update of G.
 
-The generator forward runs twice (once for the D phase, once inside the G
-grad) with the *same* PRNG keys, so both phases see the identical y_hat —
-matching the reference, which reuses one forward's output for both. Cost is
-the same (fwd + fwd + bwd vs fwd + bwd-through-saved-graph) and it keeps the
-whole step one pure jitted function with a donated carry.
+The generator forward runs ONCE per step via ``jax.vjp``: its output feeds
+the D phase detached, and its saved residuals are reused to pull the G-loss
+cotangents back through the generator — exactly the reference's
+backward-through-saved-graph structure (train.py:126,141-156), one full
+generator forward cheaper than re-running the forward inside the G grad.
+The whole step stays one pure jitted function with a donated carry.
 
 Parallelism: the step is sharding-agnostic. Under a ``('data',)`` mesh the
 loop passes batch-sharded inputs and replicated state; GSPMD inserts the
@@ -64,9 +65,18 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis):
 
         mel = spec_to_mel(spec, mel_basis)
 
-        # ---- Generator forward (shared by both phases via identical rngs) ----
-        y_hat, y_hat_mb, ids_slice, _ = g_forward(state.g_params, unit, spec, mel, rngs)
-        y_hat = y_hat.astype(jnp.float32)
+        # ---- Generator forward, ONCE, with saved residuals (jax.vjp) ----
+        # Differentiable outputs (f32) are primal outputs; the integer slice
+        # ids ride along as aux so no cotangent is needed for them.
+        def g_fwd_fn(g_params):
+            o, o_mb, ids, latents = g_forward(g_params, unit, spec, mel, rngs)
+            o = o.astype(jnp.float32)
+            o_mb = None if o_mb is None else o_mb.astype(jnp.float32)
+            latents = tuple(t.astype(jnp.float32) for t in latents)
+            return (o, o_mb, latents), ids
+
+        (y_hat, y_hat_mb, latents), g_vjp, ids_slice = jax.vjp(
+            g_fwd_fn, state.g_params, has_aux=True)
         y_seg = slice_segments(y, ids_slice * hop, seg_samples)
 
         # ---- D phase ----
@@ -85,13 +95,14 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis):
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         # ---- G phase (against the updated D) ----
-        def g_loss_fn(g_params):
-            y_hat2, y_hat_mb2, ids2, latents = g_forward(g_params, unit, spec, mel, rngs)
-            y_hat2 = y_hat2.astype(jnp.float32)
-            z, z_p, m_p, logs_p, m_q, logs_q = [t.astype(jnp.float32) for t in latents]
-            y_seg2 = slice_segments(y, ids2 * hop, seg_samples)
+        # Loss as a function of the generator *outputs*; its cotangents are
+        # pulled back through the saved forward residuals (g_vjp) — no
+        # second generator forward.
+        def g_loss_fn(outs):
+            y_hat2, y_hat_mb2, latents2 = outs
+            z, z_p, m_p, logs_p, m_q, logs_q = latents2
             logits_r, logits_g, fmap_r, fmap_g = net_d.apply(
-                {"params": d_params}, y_seg2.astype(compute_dtype),
+                {"params": d_params}, y_seg.astype(compute_dtype),
                 y_hat2.astype(compute_dtype))
             logits_g = [l.astype(jnp.float32) for l in logits_g]
 
@@ -100,15 +111,15 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis):
             y_hat_mel = wave_to_mel(y_hat2[..., 0], mel_basis,
                                     cfg.data.filter_length, hop,
                                     cfg.data.win_length, method="matmul")
-            y_mel = slice_segments(mel, ids2, seg_frames)
+            y_mel = slice_segments(mel, ids_slice, seg_frames)
             loss_mel = cfg.train.c_mel * jnp.mean(jnp.abs(y_mel - y_hat_mel))
             loss_kl = cfg.train.c_kl * kl_loss(z_p, logs_q, m_p, logs_p)
             loss_fm = feature_loss(fmap_r, fmap_g)
             loss_gen, _ = generator_loss(logits_g)
             if use_subband_loss:
-                y_mb = pqmf.analysis(y_seg2)
+                y_mb = pqmf.analysis(y_seg)
                 loss_sub = subband_stft_loss(
-                    y_mb, y_hat_mb2.astype(jnp.float32),
+                    y_mb, y_hat_mb2,
                     cfg.train.fft_sizes, cfg.train.hop_sizes, cfg.train.win_lengths)
             else:
                 loss_sub = jnp.zeros(())
@@ -117,8 +128,9 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis):
                    "loss/g/mel": loss_mel, "loss/g/kl": loss_kl, "loss/g/subband": loss_sub}
             return total, aux
 
-        (loss_g_total, g_aux), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params)
+        (loss_g_total, g_aux), out_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)((y_hat, y_hat_mb, latents))
+        (g_grads,) = g_vjp(out_grads)
         g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 

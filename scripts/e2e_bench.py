@@ -1,0 +1,175 @@
+"""End-to-end voice-conversion throughput on one chip: wave -> wave.
+
+Measures the FULL conversion pipeline the reference's convert.py runs per
+utterance (reference convert.py:58-86): HuBERT-soft content encoding
+(~94M-param transformer, the dominant cost), then prior encoder -> inverse
+flow -> MS-iSTFT decoder. Two serving modes:
+
+- ``cached_spk``: target-speaker d-vector precomputed (the production case —
+  speaker embeddings are per-speaker, computed once, cached).
+- ``full``: additionally embeds the target utterance per call (sliding
+  128-frame LSTM windows, reference models.py:528-546) from a log-mel
+  computed on-device by the Pallas fused featurizer.
+
+Chained timing throughout (see bench.py:make_chained — the remote tunnel's
+block_until_ready can return early; every number chains a data dependency).
+
+    nohup python scripts/e2e_bench.py > /tmp/e2e_bench.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def time_chained(fn, iters, *args):
+    """Run fn iters times with a serialized data dependency; return seconds."""
+
+    @jax.jit
+    def chained(*a):
+        def body(carry, _):
+            out = fn(carry, *a)
+            return (jnp.mean(out) * 1e-12).astype(jnp.float32), None
+
+        carry, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=iters)
+        return carry
+
+    out = chained(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    val = float(chained(*args))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(val)
+    return dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--seconds", type=float, default=10.0)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--precision", choices=["f32", "bf16"], default="bf16")
+    args = parser.parse_args()
+
+    from quickvc_tpu.config import QuickVCConfig
+    from quickvc_tpu.models.encoders import partial_slices
+    from quickvc_tpu.models.hubert import HubertSoft
+    from quickvc_tpu.models.synthesizer import SynthesizerTrn
+    from quickvc_tpu.ops.fused_mel import wave_to_mel_fast
+
+    cfg = QuickVCConfig()
+    sr, hop = cfg.data.sampling_rate, cfg.data.hop_length
+    n_samples = int(args.seconds * sr)
+    n_samples = (n_samples // hop) * hop
+    batch = args.batch
+    audio_seconds = batch * n_samples / sr
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+
+    rng = np.random.default_rng(0)
+    wav_src = jnp.asarray(rng.standard_normal((batch, n_samples)).astype(np.float32) * 0.1)
+    wav_tgt = jnp.asarray(rng.standard_normal((batch, n_samples)).astype(np.float32) * 0.1)
+    g_vec = jnp.asarray(rng.standard_normal((batch, cfg.model.gin_channels)).astype(np.float32))
+    g_vec = g_vec / jnp.linalg.norm(g_vec, axis=1, keepdims=True)
+
+    hubert = HubertSoft()
+    net = SynthesizerTrn(cfg.spec_channels, cfg.segment_frames, cfg.model)
+
+    print("initializing params (jitted)...", file=sys.stderr)
+    h_params = jax.jit(lambda: hubert.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16000), jnp.float32)))()
+    iu = jnp.zeros((1, 40, 256), jnp.float32)
+    ispec = jnp.zeros((1, 40, cfg.spec_channels), jnp.float32)
+    imel = jnp.zeros((1, 40, 80), jnp.float32)
+    variables = jax.jit(lambda: net.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+         "slice": jax.random.PRNGKey(2)}, iu, ispec, imel))()
+    g_params = variables["params"]
+
+    def units_fn(w):
+        return hubert.apply(h_params, w.astype(dtype),
+                            method=HubertSoft.units).astype(jnp.float32)
+
+    def infer_fn(u, g):
+        return net.apply({"params": g_params}, u.astype(dtype),
+                         g.astype(dtype), 0.0, method=SynthesizerTrn.infer)
+
+    def embed_fn(mel):
+        # Batched sliding-window d-vector (reference models.py:528-546): all
+        # utterances here share one static length, so build the (B*P, 128, 80)
+        # window batch directly and mean per utterance.
+        pf, ph = 128, 64
+        t = mel.shape[1]
+        if t <= pf:  # short utterance: single (padded) window
+            melp = jnp.pad(mel, [(0, 0), (pf - t, 0), (0, 0)])
+            return net.apply({"params": g_params}, melp.astype(dtype),
+                             method=SynthesizerTrn.embed_speaker
+                             ).astype(jnp.float32)
+        starts = partial_slices(t, pf, ph)
+        windows = [mel[:, s : s + pf] for s in starts] + [mel[:, -pf:]]
+        wb = jnp.stack(windows, axis=1)                    # (B, P, 128, 80)
+        b, p = wb.shape[0], wb.shape[1]
+        e = net.apply({"params": g_params}, wb.reshape(b * p, pf, -1).astype(dtype),
+                      method=SynthesizerTrn.embed_speaker)
+        return jnp.mean(e.reshape(b, p, -1).astype(jnp.float32), axis=1)
+
+    # -- cached-speaker pipeline: wave -> units -> infer -> wave --
+    def convert_cached(carry, w_src, g):
+        u = units_fn(w_src + carry)
+        y = infer_fn(u, g)
+        return y
+
+    # -- full pipeline: + target mel (Pallas fused) + sliding-window embed --
+    def convert_full(carry, w_src, w_tgt):
+        mel_tgt = wave_to_mel_fast(w_tgt, sr, cfg.data.filter_length, hop,
+                                   cfg.data.win_length, cfg.data.n_mel_channels,
+                                   cfg.data.mel_fmin, cfg.data.mel_fmax)
+        g = embed_fn(mel_tgt)
+        u = units_fn(w_src + carry)
+        y = infer_fn(u, g)
+        return y
+
+    results = {}
+    print("compiling + running cached_spk...", file=sys.stderr)
+    dt = time_chained(convert_cached, args.iters, wav_src, g_vec)
+    results["cached_spk"] = args.iters * audio_seconds / dt
+    print(json.dumps({
+        "metric": "e2e_conversion_throughput",
+        "value": round(results["cached_spk"], 2),
+        "unit": "x_realtime_per_chip",
+        "detail": f"wave->wave incl. HuBERT, batch {batch}, "
+                  f"{args.seconds:.0f}s utt, {args.precision}",
+    }), flush=True)
+
+    print("compiling + running full (per-call speaker embed)...", file=sys.stderr)
+    try:
+        dt = time_chained(convert_full, args.iters, wav_src, wav_tgt)
+        results["full"] = args.iters * audio_seconds / dt
+    except Exception as e:
+        print(f"full-pipeline variant skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # HuBERT alone (the content-encoding cost floor)
+    def units_only(carry, w):
+        return units_fn(w + carry)
+
+    dt = time_chained(units_only, args.iters, wav_src)
+    results["hubert_only"] = args.iters * audio_seconds / dt
+
+    for k, v in results.items():
+        print(f"{k}: {v:.1f} x realtime", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
