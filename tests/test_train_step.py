@@ -84,6 +84,85 @@ class TestTrainStep:
         s2, m2 = step(state, batch, jax.random.PRNGKey(7))
         np.testing.assert_allclose(float(m1["loss/g/total"]), float(m2["loss/g/total"]), rtol=1e-6)
 
+    def test_vjp_step_matches_two_forward_reference(self, rng):
+        """The single-forward (jax.vjp) step == an explicit two-forward step.
+
+        Re-implements the naive structure (G forward re-run inside the G
+        grad with the same rngs, as the step used before the vjp rewrite)
+        and checks the production step produces identical metrics and
+        updated parameters.
+        """
+        import optax
+
+        from quickvc_tpu.dsp.stft import spec_to_mel, wave_to_mel
+        from quickvc_tpu.losses import (discriminator_loss, feature_loss,
+                                        generator_loss, kl_loss)
+        from quickvc_tpu.ops.slicing import slice_segments
+        from quickvc_tpu.train.state import TrainState, make_optimizer
+
+        cfg = tiny_config()
+        state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(0))
+        basis = jnp.asarray(mel_filterbank(cfg.data.sampling_rate, cfg.data.filter_length,
+                                           cfg.data.n_mel_channels))
+        batch = make_batch(cfg, rng)
+        key = jax.random.PRNGKey(11)
+
+        new_state, metrics = jax.jit(make_train_step(cfg, net_g, net_d, basis))(
+            state, batch, key)
+
+        opt = make_optimizer(cfg)
+        hop, seg_frames, seg_samples = (cfg.data.hop_length, cfg.segment_frames,
+                                        cfg.train.segment_size)
+
+        def two_forward_step(st, b, k):
+            unit, spec, y = b["unit"], b["spec"], b["wave"]
+            k_sample, k_slice = jax.random.split(k)
+            rngs = {"sample": k_sample, "slice": k_slice}
+            mel = spec_to_mel(spec, basis)
+
+            def fwd(gp):
+                return net_g.apply({"params": gp}, unit, spec, mel, rngs=rngs)
+
+            y_hat, _, ids, _ = fwd(st.g_params)
+            y_seg = slice_segments(y, ids * hop, seg_samples)
+
+            def d_loss_fn(dp):
+                lr_, lg_, _, _ = net_d.apply({"params": dp}, y_seg,
+                                             jax.lax.stop_gradient(y_hat))
+                loss, _, _ = discriminator_loss(lr_, lg_)
+                return loss
+
+            d_grads = jax.grad(d_loss_fn)(st.d_params)
+            d_up, d_opt = opt.update(d_grads, st.d_opt, st.d_params)
+            d_params = optax.apply_updates(st.d_params, d_up)
+
+            def g_loss_fn(gp):
+                y_hat2, _, ids2, latents = fwd(gp)
+                z, z_p, m_p, logs_p, m_q, logs_q = latents
+                y_seg2 = slice_segments(y, ids2 * hop, seg_samples)
+                _, lg_, fr_, fg_ = net_d.apply({"params": d_params}, y_seg2, y_hat2)
+                y_hat_mel = wave_to_mel(y_hat2[..., 0], basis, cfg.data.filter_length,
+                                        hop, cfg.data.win_length, method="matmul")
+                y_mel = slice_segments(mel, ids2, seg_frames)
+                loss_mel = cfg.train.c_mel * jnp.mean(jnp.abs(y_mel - y_hat_mel))
+                loss_kl = cfg.train.c_kl * kl_loss(z_p, logs_q, m_p, logs_p)
+                loss_gen, _ = generator_loss(lg_)
+                return loss_gen + feature_loss(fr_, fg_) + loss_mel + loss_kl
+
+            g_grads = jax.grad(g_loss_fn)(st.g_params)
+            g_up, g_opt = opt.update(g_grads, st.g_opt, st.g_params)
+            g_params = optax.apply_updates(st.g_params, g_up)
+            return TrainState(step=st.step + 1, g_params=g_params,
+                              d_params=d_params, g_opt=g_opt, d_opt=d_opt)
+
+        ref_state = jax.jit(two_forward_step)(state, batch, key)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                    rtol=2e-5, atol=2e-6),
+            (new_state.g_params, new_state.d_params),
+            (ref_state.g_params, ref_state.d_params))
+        assert np.isfinite(float(metrics["loss/g/total"]))
+
     def test_bf16_precision_step(self, rng):
         """bf16 compute policy: losses finite, params still f32."""
         cfg = tiny_config()
