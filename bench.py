@@ -57,11 +57,15 @@ def make_chained(infer, params, iters):
 def time_case(chained, u, g):
     out = chained(u, g)  # warmup + compile
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    val = float(chained(u, g))  # host fetch of the final scalar
-    dt = time.perf_counter() - t0
-    assert np.isfinite(val)
-    return dt
+    # Min of two timed repetitions: the first timed run after a compile can
+    # overlap residual warmup/compile activity on the tunnel and over-report.
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        val = float(chained(u, g))  # host fetch of the final scalar
+        best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(val)
+    return best
 
 
 def main():

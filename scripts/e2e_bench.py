@@ -48,11 +48,16 @@ def time_chained(fn, iters, *args):
 
     out = chained(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    val = float(chained(*args))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(val)
-    return dt
+    # Two timed repetitions, take the min: the first timed run after a
+    # compile can overlap residual warmup/compile activity on the tunnel
+    # and over-report by large factors.
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        val = float(chained(*args))
+        best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(val)
+    return best
 
 
 def main():
@@ -97,15 +102,18 @@ def main():
          "slice": jax.random.PRNGKey(2)}, iu, ispec, imel))()
     g_params = variables["params"]
 
-    def units_fn(w):
-        return hubert.apply(h_params, w.astype(dtype),
+    # NB: params are explicit jit arguments everywhere below — closing over
+    # a 94M-param pytree bakes it into the HLO as literals, which blows past
+    # the remote compile helper's request-size limit (HTTP 413).
+    def units_fn(hp, w):
+        return hubert.apply(hp, w.astype(dtype),
                             method=HubertSoft.units).astype(jnp.float32)
 
-    def infer_fn(u, g):
-        return net.apply({"params": g_params}, u.astype(dtype),
+    def infer_fn(gp, u, g):
+        return net.apply({"params": gp}, u.astype(dtype),
                          g.astype(dtype), 0.0, method=SynthesizerTrn.infer)
 
-    def embed_fn(mel):
+    def embed_fn(gp, mel):
         # Batched sliding-window d-vector (reference models.py:528-546): all
         # utterances here share one static length, so build the (B*P, 128, 80)
         # window batch directly and mean per utterance.
@@ -113,36 +121,36 @@ def main():
         t = mel.shape[1]
         if t <= pf:  # short utterance: single (padded) window
             melp = jnp.pad(mel, [(0, 0), (pf - t, 0), (0, 0)])
-            return net.apply({"params": g_params}, melp.astype(dtype),
+            return net.apply({"params": gp}, melp.astype(dtype),
                              method=SynthesizerTrn.embed_speaker
                              ).astype(jnp.float32)
         starts = partial_slices(t, pf, ph)
         windows = [mel[:, s : s + pf] for s in starts] + [mel[:, -pf:]]
         wb = jnp.stack(windows, axis=1)                    # (B, P, 128, 80)
         b, p = wb.shape[0], wb.shape[1]
-        e = net.apply({"params": g_params}, wb.reshape(b * p, pf, -1).astype(dtype),
+        e = net.apply({"params": gp}, wb.reshape(b * p, pf, -1).astype(dtype),
                       method=SynthesizerTrn.embed_speaker)
         return jnp.mean(e.reshape(b, p, -1).astype(jnp.float32), axis=1)
 
     # -- cached-speaker pipeline: wave -> units -> infer -> wave --
-    def convert_cached(carry, w_src, g):
-        u = units_fn(w_src + carry)
-        y = infer_fn(u, g)
+    def convert_cached(carry, hp, gp, w_src, g):
+        u = units_fn(hp, w_src + carry)
+        y = infer_fn(gp, u, g)
         return y
 
     # -- full pipeline: + target mel (Pallas fused) + sliding-window embed --
-    def convert_full(carry, w_src, w_tgt):
+    def convert_full(carry, hp, gp, w_src, w_tgt):
         mel_tgt = wave_to_mel_fast(w_tgt, sr, cfg.data.filter_length, hop,
                                    cfg.data.win_length, cfg.data.n_mel_channels,
                                    cfg.data.mel_fmin, cfg.data.mel_fmax)
-        g = embed_fn(mel_tgt)
-        u = units_fn(w_src + carry)
-        y = infer_fn(u, g)
+        g = embed_fn(gp, mel_tgt)
+        u = units_fn(hp, w_src + carry)
+        y = infer_fn(gp, u, g)
         return y
 
     results = {}
     print("compiling + running cached_spk...", file=sys.stderr)
-    dt = time_chained(convert_cached, args.iters, wav_src, g_vec)
+    dt = time_chained(convert_cached, args.iters, h_params, g_params, wav_src, g_vec)
     results["cached_spk"] = args.iters * audio_seconds / dt
     print(json.dumps({
         "metric": "e2e_conversion_throughput",
@@ -154,17 +162,17 @@ def main():
 
     print("compiling + running full (per-call speaker embed)...", file=sys.stderr)
     try:
-        dt = time_chained(convert_full, args.iters, wav_src, wav_tgt)
+        dt = time_chained(convert_full, args.iters, h_params, g_params, wav_src, wav_tgt)
         results["full"] = args.iters * audio_seconds / dt
     except Exception as e:
         print(f"full-pipeline variant skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
 
     # HuBERT alone (the content-encoding cost floor)
-    def units_only(carry, w):
-        return units_fn(w + carry)
+    def units_only(carry, hp, w):
+        return units_fn(hp, w + carry)
 
-    dt = time_chained(units_only, args.iters, wav_src)
+    dt = time_chained(units_only, args.iters, h_params, wav_src)
     results["hubert_only"] = args.iters * audio_seconds / dt
 
     for k, v in results.items():
