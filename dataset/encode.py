@@ -3,10 +3,13 @@
 Reference parity (dataset/encode.py): saves ``<out>/<rel>.npy`` with the
 (Frame, 256) unit series per wav. TPU-native: the flax HuBERT runs jitted
 with shape bucketing (wav lengths padded up to 1 s steps) so the whole
-dataset encodes with a handful of XLA compilations.
+dataset encodes with a handful of XLA compilations, and same-bucket files
+are batched through one forward (``--batch``, default 16) — the reference
+encodes strictly one file per forward (dataset/encode.py:25-38).
 
     python dataset/encode.py soft in-dir out-dir [--extension .wav]
                              [--suffix_16k] [--hubert path/to/hubert-soft.pt]
+                             [--batch 16]
 """
 
 from __future__ import annotations
@@ -31,7 +34,7 @@ def encode_dataset(args):
 
     hubert = HubertSoft()
     params = load_hubert_params(args.hubert)
-    units_fn = jax.jit(lambda w: hubert.apply(params, w, method=HubertSoft.units))
+    units_fn = jax.jit(lambda p, w: hubert.apply(p, w, method=HubertSoft.units))
 
     if args.suffix_16k:
         paths = sorted(Path(args.in_dir).glob("**/*.16k.wav"))
@@ -40,18 +43,36 @@ def encode_dataset(args):
     print(f"Encoding {len(paths)} files from {args.in_dir}")
 
     bucket = 16000  # pad to whole seconds: bounded set of XLA shapes
+
+    def flush(group: list[tuple[Path, np.ndarray]], padded: int) -> None:
+        """One batched forward over same-bucket files; crop + save each.
+
+        The batch dim is padded up to ``--batch`` so XLA compiles exactly
+        one program per bucket length (a ragged final group would otherwise
+        trigger its own compile).
+        """
+        batch = np.zeros((args.batch, padded), np.float32)
+        for i, (_, wav) in enumerate(group):
+            batch[i, : len(wav)] = wav
+        units = np.asarray(units_fn(params, jnp.asarray(batch)))
+        for i, (out_path, wav) in enumerate(group):
+            out_path.parent.mkdir(parents=True, exist_ok=True)
+            np.save(out_path.with_suffix(".npy"),
+                    units[i, : len(wav) // 320].astype(np.float32))
+
+    # Group same-padded-length files into batches: each group runs as ONE
+    # jitted forward on (batch, padded) — the TPU is batch-starved at 1.
+    groups: dict[int, list[tuple[Path, np.ndarray]]] = {}
     for in_path in paths:
         out_path = Path(args.out_dir) / in_path.relative_to(args.in_dir)
-        out_path.parent.mkdir(parents=True, exist_ok=True)
         wav, sr = read_wav(str(in_path))
         wav = resample(wav, sr, 16000)
-        n = len(wav)
-        padded = int(np.ceil(max(n, bucket) / bucket)) * bucket
-        wav_p = np.zeros(padded, np.float32)
-        wav_p[:n] = wav
-        units = np.asarray(units_fn(jnp.asarray(wav_p[None])))[0]
-        units = units[: n // 320]  # crop to true frame count
-        np.save(out_path.with_suffix(".npy"), units.astype(np.float32))
+        padded = int(np.ceil(max(len(wav), bucket) / bucket)) * bucket
+        groups.setdefault(padded, []).append((out_path, wav))
+        if len(groups[padded]) >= args.batch:
+            flush(groups.pop(padded), padded)
+    for padded, group in sorted(groups.items()):
+        flush(group, padded)
 
 
 if __name__ == "__main__":
@@ -62,5 +83,7 @@ if __name__ == "__main__":
     parser.add_argument("--extension", default=".wav", type=str)
     parser.add_argument("--suffix_16k", action="store_true")
     parser.add_argument("--hubert", default="logs/hubert-soft.pt", type=str)
+    parser.add_argument("--batch", default=16, type=int,
+                        help="files per batched HuBERT forward (same-length bucket)")
     args = parser.parse_args()
     encode_dataset(args)
