@@ -28,6 +28,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from quickvc_tpu.models.layers import Conv1d, Dense
 
@@ -102,16 +103,15 @@ class MultiHeadAttention(nn.Module):
         b_in = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
         qkv = x @ w_in.T.astype(x.dtype) + b_in.astype(x.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        b, t, _ = x.shape
+        # Pallas fused attention in packed (B, T, H*D) layout: the (T, T)
+        # score matrices live in VMEM per batch item instead of
+        # round-tripping HBM, and no head transpose ever materializes — the
+        # transformer is otherwise bandwidth-bound at these lengths
+        # (BENCH.md roofline).
+        from quickvc_tpu.ops.fused_attention import fused_attention_packed
 
-        def heads(z):
-            return z.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(q), heads(k), heads(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
-        attn = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        out = fused_attention_packed(q, k, v, num_heads=h,
+                                     scale=1.0 / float(np.sqrt(hd)))
         return Dense(d, name="out_proj")(out)
 
 
