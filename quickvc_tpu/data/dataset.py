@@ -113,7 +113,11 @@ class UnitAudioSpecDataset:
         else:
             spec = _compute_spec(wav, self.cfg)
             if self.cache_specs:
-                tmp = spec_path + ".tmp.npy"
+                # Unique tmp per writer: the sampler pads buckets by
+                # repeating indices, so two loader threads can cache the
+                # same item concurrently; a shared tmp name races on the
+                # rename (both would os.replace the same source).
+                tmp = f"{spec_path}.tmp.{os.getpid()}.{threading.get_ident()}.npy"
                 np.save(tmp[:-4], spec)  # np.save appends .npy
                 os.replace(tmp, spec_path)
 

@@ -33,6 +33,33 @@ import numpy as np
 from quickvc_tpu.models.layers import Conv1d, Dense
 
 
+def norm_like(norm: nn.Module, x: jax.Array) -> jax.Array:
+    """Apply a flax norm layer, returning the INPUT's dtype.
+
+    flax norm layers promote bf16 inputs to f32 (f32 params), which silently
+    upcasts everything downstream of the first GroupNorm — the whole
+    transformer would run f32 under a "bf16" policy (2x HBM traffic, 2x VPU
+    time, measured at +30% whole-model time). Stats still reduce in f32
+    inside flax; only the normalized output is cast back.
+    """
+    return norm(x).astype(x.dtype)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Precision-adaptive GELU.
+
+    f32: exact erf GELU (bit-parity with the torch reference, which uses
+    ``nn.GELU()`` == erf). bf16: tanh approximation — the erf polynomial is
+    ~3.2x more VPU time (9.3 vs 2.9 ms on the batch-32 extractor tensor,
+    scripts/hubert_breakdown.py) while its deviation from exact GELU
+    (max 4.8e-4 absolute, 1.8e-4 relative at the worst point x~2.7) sits at
+    the bf16 quantization floor (eps = 2^-8 ~ 3.9e-3), so in bf16 the two
+    are indistinguishable downstream. GELU runs on every extractor layer and
+    every FFN, so this is ~25% of the HuBERT forward.
+    """
+    return jax.nn.gelu(x, approximate=x.dtype == jnp.bfloat16)
+
+
 class FeatureExtractor(nn.Module):
     """Waveform (B, T, 1) -> features (B, T/320, channels)."""
 
@@ -43,14 +70,14 @@ class FeatureExtractor(nn.Module):
         c = self.channels
         x = Conv1d(c, 10, stride=5, padding="valid", use_bias=False, name="conv0")(x)
         # GroupNorm(512, 512) == per-channel instance norm over time
-        x = nn.GroupNorm(num_groups=c, epsilon=1e-5, name="norm0")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = norm_like(nn.GroupNorm(num_groups=c, epsilon=1e-5, name="norm0"), x)
+        x = gelu(x)
         for i in range(1, 5):
             x = Conv1d(c, 3, stride=2, padding="valid", use_bias=False, name=f"conv{i}")(x)
-            x = jax.nn.gelu(x, approximate=False)
+            x = gelu(x)
         for i in range(5, 7):
             x = Conv1d(c, 2, stride=2, padding="valid", use_bias=False, name=f"conv{i}")(x)
-            x = jax.nn.gelu(x, approximate=False)
+            x = gelu(x)
         return x
 
 
@@ -59,7 +86,7 @@ class FeatureProjection(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        x = norm_like(nn.LayerNorm(epsilon=1e-5, name="norm"), x)
         return Dense(self.embed_dim, name="projection")(x)
 
 
@@ -86,7 +113,7 @@ class PositionalConvEmbedding(nn.Module):
             dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=g,
         ) + bias.astype(x.dtype)
         y = y[:, :-1, :]  # even kernel: trim trailing sample (HuBERT convention)
-        return jax.nn.gelu(y, approximate=False)
+        return gelu(y)
 
 
 class MultiHeadAttention(nn.Module):
@@ -125,11 +152,11 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         a = MultiHeadAttention(self.embed_dim, self.num_heads, name="self_attn")(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + a)
+        x = norm_like(nn.LayerNorm(epsilon=1e-5, name="norm1"), x + a)
         f = Dense(self.ffn_dim, name="linear1")(x)
-        f = jax.nn.gelu(f, approximate=False)
+        f = gelu(f)
         f = Dense(self.embed_dim, name="linear2")(f)
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + f)
+        return norm_like(nn.LayerNorm(epsilon=1e-5, name="norm2"), x + f)
 
 
 class HubertSoft(nn.Module):
@@ -150,7 +177,7 @@ class HubertSoft(nn.Module):
         x = FeatureProjection(self.embed_dim, name="feature_projection")(x)
         x = x + PositionalConvEmbedding(self.embed_dim, self.pos_kernel_size,
                                         self.pos_groups, name="positional_embedding")(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        x = norm_like(nn.LayerNorm(epsilon=1e-5, name="norm"), x)
         for i in range(self.num_layers):
             x = TransformerLayer(self.embed_dim, self.num_heads, self.ffn_dim,
                                  name=f"layer_{i}")(x)

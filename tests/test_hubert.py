@@ -84,3 +84,33 @@ def test_hubert_units_frame_rate(rng):
     params = ours.init(jax.random.PRNGKey(0), wav)
     units = ours.apply(params, wav, method=HubertSoft.units)
     assert units.shape == (1, 6400 // 320, 8)
+
+
+def test_bf16_fast_gelu_within_bf16_noise(rng):
+    """bf16 runs use tanh-GELU (models/hubert.py:gelu): its deviation from
+    exact erf GELU must stay at/below the bf16 quantization floor, and the
+    bf16 forward must track the f32 (exact-GELU) forward."""
+    from quickvc_tpu.models.hubert import gelu
+
+    # same (bf16-quantized) inputs through both paths: isolates the
+    # approximation error from input quantization
+    xb = jnp.asarray(np.linspace(-12, 12, 100_001, dtype=np.float32)).astype(jnp.bfloat16)
+    exact = np.asarray(jnp.asarray(gelu(xb.astype(jnp.float32))))  # f32 path == erf
+    approx = np.asarray(jnp.asarray(gelu(xb)).astype(jnp.float32))
+    # absolute deviation bounded by bf16 eps relative to the value scale
+    err = np.abs(exact - approx)
+    tol = np.maximum(np.abs(exact), 1.0) * 2 ** -7  # 2 bf16 ulps
+    assert (err <= tol).all(), float(err.max())
+
+    # end-to-end: tiny-config bf16 forward tracks f32 within bf16 noise
+    net = HubertSoft(embed_dim=64, num_layers=2, num_heads=4, ffn_dim=128,
+                     extractor_channels=32, unit_dim=24, pos_kernel_size=8,
+                     pos_groups=4)
+    wav = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32) * 0.1)
+    import jax
+
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), wav)
+    u32 = net.apply(params, wav)
+    u16 = net.apply(params, wav.astype(jnp.bfloat16)).astype(jnp.float32)
+    assert np.abs(np.asarray(u32) - np.asarray(u16)).mean() < 0.05 * float(
+        jnp.abs(u32).mean() + 1e-6)
