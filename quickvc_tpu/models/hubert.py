@@ -61,23 +61,68 @@ def gelu(x: jax.Array) -> jax.Array:
 
 
 class FeatureExtractor(nn.Module):
-    """Waveform (B, T, 1) -> features (B, T/320, channels)."""
+    """Waveform (B, T, 1) -> features (B, T/320, channels).
+
+    ``front_mode`` picks how the first two stages (conv0 + GroupNorm + GELU
+    + conv1 + GELU) run — identical parameters and numerics at the compute
+    dtype in all modes (TPU timings: BENCH.md):
+
+    - ``"xla"``   (default): plain flax chain; GroupNorm reduces over the
+      ~1 GB conv0 output. 9.0 ms at batch 32 x 10 s bf16.
+    - ``"faststats"`` (serving): GroupNorm's per-channel affine computed in
+      the WAVE domain in closed form (ops/fused_extractor.py:
+      groupnorm_affine_closed_form), so XLA fuses normalize+GELU into
+      conv0's epilogue — two full HBM passes gone. 7.7 ms. Works on any
+      backend.
+    - ``"pallas"``: one fused kernel for the whole front
+      (ops/fused_extractor.py). Kept as a documented Mosaic pattern; it
+      LOSES to XLA here (12.5 ms — the serial matmul->norm->GELU chain
+      doesn't overlap MXU/VPU), so it is not the serving default. TPU only.
+    """
 
     channels: int = 512
+    front_mode: str = "xla"
 
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def setup(self):
         c = self.channels
-        x = Conv1d(c, 10, stride=5, padding="valid", use_bias=False, name="conv0")(x)
+        self.conv0 = Conv1d(c, 10, stride=5, padding="valid", use_bias=False)
         # GroupNorm(512, 512) == per-channel instance norm over time
-        x = norm_like(nn.GroupNorm(num_groups=c, epsilon=1e-5, name="norm0"), x)
-        x = gelu(x)
+        self.norm0 = nn.GroupNorm(num_groups=c, epsilon=1e-5)
         for i in range(1, 5):
-            x = Conv1d(c, 3, stride=2, padding="valid", use_bias=False, name=f"conv{i}")(x)
-            x = gelu(x)
+            setattr(self, f"conv{i}",
+                    Conv1d(c, 3, stride=2, padding="valid", use_bias=False))
         for i in range(5, 7):
-            x = Conv1d(c, 2, stride=2, padding="valid", use_bias=False, name=f"conv{i}")(x)
-            x = gelu(x)
+            setattr(self, f"conv{i}",
+                    Conv1d(c, 2, stride=2, padding="valid", use_bias=False))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        mode = self.front_mode if not self.is_initializing() else "xla"
+        if mode == "pallas" and jax.default_backend() != "tpu":
+            mode = "xla"
+        if mode == "pallas":
+            from quickvc_tpu.ops.fused_extractor import fused_extractor_front
+
+            p = self.variables["params"]
+            x = fused_extractor_front(
+                x[..., 0], p["conv0"]["kernel"], p["norm0"]["scale"],
+                p["norm0"]["bias"], p["conv1"]["kernel"])
+        elif mode == "faststats":
+            from quickvc_tpu.ops.fused_extractor import (
+                groupnorm_affine_closed_form)
+
+            p = self.variables["params"]
+            scale, shift = groupnorm_affine_closed_form(
+                x[..., 0], p["conv0"]["kernel"], p["norm0"]["scale"],
+                p["norm0"]["bias"])
+            y = self.conv0(x)
+            yn = (y * scale[:, None, :].astype(y.dtype)
+                  + shift[:, None, :].astype(y.dtype))
+            x = gelu(self.conv1(gelu(yn)))
+        else:
+            x = gelu(norm_like(self.norm0, self.conv0(x)))
+            x = gelu(self.conv1(x))
+        for i in range(2, 7):
+            x = gelu(getattr(self, f"conv{i}")(x))
         return x
 
 
@@ -143,14 +188,30 @@ class MultiHeadAttention(nn.Module):
 
 
 class TransformerLayer(nn.Module):
-    """Post-norm transformer encoder layer (torch TransformerEncoderLayer default)."""
+    """Post-norm transformer encoder layer (torch TransformerEncoderLayer default).
+
+    ``use_pallas_layer=True`` (TPU only) runs the whole layer as one fused
+    Pallas kernel (ops/fused_transformer.py) — same parameters, same
+    numerics at the compute dtype; qkv/attention/FFN intermediates never
+    touch HBM. Kept as a documented Mosaic pattern: measured SLOWER than
+    the XLA layer (3.5 vs 3.2 ms isolated at batch 32 x 500 frames bf16 —
+    the in-kernel chain is serial, and XLA's per-op pipeline with the
+    fused-attention kernel already overlaps well), so off by default.
+    """
 
     embed_dim: int = 768
     num_heads: int = 12
     ffn_dim: int = 3072
+    use_pallas_layer: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if (self.use_pallas_layer and not self.is_initializing()
+                and jax.default_backend() == "tpu"):
+            from quickvc_tpu.ops.fused_transformer import fused_transformer_layer
+
+            return fused_transformer_layer(x, self.variables["params"],
+                                           self.num_heads)
         a = MultiHeadAttention(self.embed_dim, self.num_heads, name="self_attn")(x)
         x = norm_like(nn.LayerNorm(epsilon=1e-5, name="norm1"), x + a)
         f = Dense(self.ffn_dim, name="linear1")(x)
@@ -170,17 +231,20 @@ class HubertSoft(nn.Module):
     unit_dim: int = 256
     pos_kernel_size: int = 128
     pos_groups: int = 16
+    front_mode: str = "xla"          # see FeatureExtractor.front_mode
+    use_pallas_layer: bool = False   # see TransformerLayer.use_pallas_layer
 
     @nn.compact
     def __call__(self, wav: jax.Array) -> jax.Array:
-        x = FeatureExtractor(self.extractor_channels, name="feature_extractor")(wav[..., None])
+        x = FeatureExtractor(self.extractor_channels, self.front_mode,
+                             name="feature_extractor")(wav[..., None])
         x = FeatureProjection(self.embed_dim, name="feature_projection")(x)
         x = x + PositionalConvEmbedding(self.embed_dim, self.pos_kernel_size,
                                         self.pos_groups, name="positional_embedding")(x)
         x = norm_like(nn.LayerNorm(epsilon=1e-5, name="norm"), x)
         for i in range(self.num_layers):
             x = TransformerLayer(self.embed_dim, self.num_heads, self.ffn_dim,
-                                 name=f"layer_{i}")(x)
+                                 self.use_pallas_layer, name=f"layer_{i}")(x)
         return Dense(self.unit_dim, name="proj")(x)
 
     def units(self, wav: jax.Array) -> jax.Array:

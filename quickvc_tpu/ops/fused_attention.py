@@ -118,6 +118,77 @@ def fused_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :t]
 
 
+def _packed_kernel_aligned(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                           true_len: int, num_heads: int, head_pad: int):
+    """Like ``_packed_kernel`` but heads are pre-padded to ``head_pad``
+    (=128) lanes, so every per-head slice is lane-aligned — no Mosaic
+    relayout on the MXU operands. Padded q/k lanes are zero, so scores are
+    unchanged; padded v lanes are zero, so padded output lanes are zero."""
+    tp = q_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+    sls = [slice(h * head_pad, (h + 1) * head_pad) for h in range(num_heads)]
+    ss = []
+    for sl in sls:
+        s = jax.lax.dot_general(
+            q_ref[0][:, sl], k_ref[0][:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if true_len < tp:
+            s = jnp.where(col < true_len, s, -jnp.inf)
+        ss.append(s)
+    ps = [jax.nn.softmax(s, axis=-1) for s in ss]
+    for sl, p in zip(sls, ps):
+        o = jnp.dot(p.astype(v_ref.dtype), v_ref[0][:, sl],
+                    preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def fused_attention_packed_aligned(q: jax.Array, k: jax.Array, v: jax.Array,
+                                   num_heads: int, scale: float,
+                                   head_pad: int = 128) -> jax.Array:
+    """Packed fused MHA over lane-ALIGNED padded heads.
+
+    q/k/v are (B, T, H*head_pad) with each head's true ``d`` values in the
+    first lanes of its 128-lane slot and zeros elsewhere (produce this for
+    free by zero-padding the qkv projection *weights* — see
+    models/hubert.py). Returns (B, T, H*head_pad) with padded lanes zero,
+    which the output projection consumes directly (its padded input rows
+    are zero weights). Compared to ``fused_attention_packed`` this spends
+    ~2x the projection FLOPs to make every in-kernel slice 128-aligned.
+    """
+    b, t, hp_all = q.shape
+    if jax.default_backend() != "tpu":
+        d = hp_all // num_heads
+
+        def heads(z):
+            return z.reshape(b, t, num_heads, d).transpose(0, 2, 1, 3)
+
+        o = fused_attention(heads(q), heads(k), heads(v), scale)
+        return o.transpose(0, 2, 1, 3).reshape(b, t, hp_all)
+
+    tp = -(-t // 128) * 128
+    if tp != t:
+        pad = [(0, 0), (0, tp - t), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    kern = functools.partial(_packed_kernel_aligned, scale=scale, true_len=t,
+                             num_heads=num_heads, head_pad=head_pad)
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, tp, hp_all), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((1, tp, hp_all), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tp, hp_all), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",),
+            allow_input_fusion=[True, True, True]),
+    )(q, k, v)
+    return out[:, :t]
+
+
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     scale: float) -> jax.Array:
     """softmax(q k^T * scale) v over (B, H, T, D) inputs.

@@ -48,6 +48,79 @@ def test_fused_mel_matches_xla(rng, shape):
     np.testing.assert_allclose(ours, golden, atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.parametrize("t", [16000, 16003, 9995])
+def test_fused_extractor_front_matches_xla(rng, t):
+    """conv0+GroupNorm+GELU+conv1+GELU kernel == the flax stage chain."""
+    from quickvc_tpu.models.hubert import FeatureExtractor
+    from quickvc_tpu.ops.fused_extractor import fused_extractor_front
+
+    fe = FeatureExtractor()
+    p = fe.init(jax.random.PRNGKey(0), jnp.zeros((1, 2000, 1)))["params"]
+    x = jnp.asarray(rng.standard_normal((2, t)).astype(np.float32) * 0.3)
+
+    def golden_front(x, p):
+        y = jax.lax.conv_general_dilated(
+            x[..., None], p["conv0"]["kernel"], (5,), [(0, 0)],
+            dimension_numbers=("NHC", "HIO", "NHC"))
+        m = jnp.mean(y, axis=1, keepdims=True)
+        v = jnp.var(y, axis=1, keepdims=True)
+        y = (y - m) / jnp.sqrt(v + 1e-5) * p["norm0"]["scale"] + p["norm0"]["bias"]
+        y = jax.nn.gelu(y, approximate=False)
+        y = jax.lax.conv_general_dilated(
+            y, p["conv1"]["kernel"], (2,), [(0, 0)],
+            dimension_numbers=("NHC", "HIO", "NHC"))
+        return jax.nn.gelu(y, approximate=False)
+
+    golden = np.asarray(golden_front(x, p))
+    ours = np.asarray(_pallas_interpret(
+        fused_extractor_front, x, p["conv0"]["kernel"], p["norm0"]["scale"],
+        p["norm0"]["bias"], p["conv1"]["kernel"]))
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours, golden, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("t", [70, 128, 257])
+def test_fused_transformer_layer_matches_flax(rng, t):
+    """Whole-layer kernel == models.hubert.TransformerLayer (post-norm)."""
+    from quickvc_tpu.models.hubert import TransformerLayer
+    from quickvc_tpu.ops.fused_transformer import fused_transformer_layer
+
+    tl = TransformerLayer()
+    p = tl.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 768)))["params"]
+    x = jnp.asarray(rng.standard_normal((2, t, 768)).astype(np.float32) * 0.5)
+    golden = np.asarray(tl.apply({"params": p}, x))
+    ours = np.asarray(_pallas_interpret(fused_transformer_layer, x, p, 12))
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours, golden, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_extractor_in_model_param_tree():
+    """front_mode changes no parameter names/shapes/values."""
+    from quickvc_tpu.models.hubert import FeatureExtractor
+
+    a = FeatureExtractor().init(jax.random.PRNGKey(0), jnp.zeros((1, 2000, 1)))
+    for mode in ("faststats", "pallas"):
+        b = FeatureExtractor(front_mode=mode).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2000, 1)))
+        assert jax.tree.structure(a) == jax.tree.structure(b)
+        for xa, xb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+@pytest.mark.parametrize("t", [16000, 9995])
+def test_faststats_front_matches_xla_in_model(rng, t):
+    """front_mode='faststats' == default mode on the full extractor (f32)."""
+    from quickvc_tpu.models.hubert import FeatureExtractor
+
+    fe0 = FeatureExtractor()
+    fe1 = FeatureExtractor(front_mode="faststats")
+    p = fe0.init(jax.random.PRNGKey(0), jnp.zeros((1, 2000, 1)))
+    x = jnp.asarray(rng.standard_normal((2, t, 1)).astype(np.float32) * 0.3)
+    a = np.asarray(fe0.apply(p, x))
+    b = np.asarray(fe1.apply(p, x))
+    np.testing.assert_allclose(b, a, atol=5e-4, rtol=1e-3)
+
+
 def test_fused_mel_non_multiple_length(rng):
     """Arbitrary wave lengths (not hop multiples) match the XLA featurizer."""
     from quickvc_tpu.dsp.mel import mel_filterbank
