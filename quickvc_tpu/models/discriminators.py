@@ -114,21 +114,44 @@ class DiscriminatorS(nn.Module):
 
 
 class MultiPeriodDiscriminator(nn.Module):
-    """1 x DiscriminatorS + DiscriminatorP for periods (2, 3, 5, 7, 11)."""
+    """1 x DiscriminatorS + DiscriminatorP for periods (2, 3, 5, 7, 11).
+
+    ``batch_pair=True`` (default) runs each sub-discriminator ONCE on
+    real‖fake concatenated along the batch axis instead of twice — convs
+    and reflect-pads are batch-parallel so the numerics are identical,
+    but the MXU sees 2x-larger matmuls and half the kernel count
+    (reference runs two passes, models.py:492-504). The call-time ``pair``
+    argument overrides the field: pairing wins when BOTH halves need
+    gradients (the D-phase param grad) but loses when only the fake half
+    is differentiated (the G-phase input grad pulls useless cotangents
+    through the real half) — measured in scripts/disc_pair_ab.py, so
+    train/step.py passes pair=True for D and pair=False for G.
+    """
 
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     width: float = 1.0
+    batch_pair: bool = True
 
     @nn.compact
-    def __call__(self, y: jax.Array, y_hat: jax.Array):
+    def __call__(self, y: jax.Array, y_hat: jax.Array, pair: bool | None = None):
         discs: list[Callable] = [DiscriminatorS(self.width, name="disc_s")]
         discs += [DiscriminatorP(p, width=self.width, name=f"disc_p{p}") for p in self.periods]
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-        for d in discs:
-            logit_r, fmap_r = d(y)
-            logit_g, fmap_g = d(y_hat)
-            y_d_rs.append(logit_r)
-            y_d_gs.append(logit_g)
-            fmap_rs.append(fmap_r)
-            fmap_gs.append(fmap_g)
+        if self.batch_pair if pair is None else pair:
+            b = y.shape[0]
+            pair = jnp.concatenate([y, y_hat], axis=0)
+            for d in discs:
+                logit, fmap = d(pair)
+                y_d_rs.append(logit[:b])
+                y_d_gs.append(logit[b:])
+                fmap_rs.append([f[:b] for f in fmap])
+                fmap_gs.append([f[b:] for f in fmap])
+        else:
+            for d in discs:
+                logit_r, fmap_r = d(y)
+                logit_g, fmap_g = d(y_hat)
+                y_d_rs.append(logit_r)
+                y_d_gs.append(logit_g)
+                fmap_rs.append(fmap_r)
+                fmap_gs.append(fmap_g)
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs

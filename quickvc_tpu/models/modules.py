@@ -60,6 +60,11 @@ class WaveNet(nn.Module):
     kernel_size: int = 5
     n_layers: int = 16
     gin_channels: int = 0
+    # lax.scan unroll factor; 0 = fully unroll. The param pytree stays
+    # scan-stacked either way. Full unroll lets XLA fuse across layers in
+    # the BACKWARD pass: 15.6 -> 12.9 ms fwd+bwd at batch 64 x 512 frames
+    # (scripts/bwd_experiments.py; partial unroll=4 is pathological, 25 ms).
+    unroll: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array, g: jax.Array | None = None) -> jax.Array:
@@ -81,6 +86,7 @@ class WaveNet(nn.Module):
             split_rngs={"params": True},
             in_axes=0,
             length=L,
+            unroll=self.unroll if self.unroll > 0 else L,
         )
         (x_final, output), _ = scan(h, self.kernel_size, name="layers")(
             (x, jnp.zeros_like(x)), g_stack)

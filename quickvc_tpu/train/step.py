@@ -81,9 +81,11 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis):
 
         # ---- D phase ----
         def d_loss_fn(d_params):
+            # pair=True: both halves need param grads; one batched pass
+            # is fastest (scripts/disc_pair_ab.py).
             logits_r, logits_g, _, _ = net_d.apply(
                 {"params": d_params}, y_seg.astype(compute_dtype),
-                jax.lax.stop_gradient(y_hat).astype(compute_dtype))
+                jax.lax.stop_gradient(y_hat).astype(compute_dtype), pair=True)
             logits_r = [l.astype(jnp.float32) for l in logits_r]
             logits_g = [l.astype(jnp.float32) for l in logits_g]
             loss, r_losses, g_losses = discriminator_loss(logits_r, logits_g)
@@ -101,9 +103,12 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis):
         def g_loss_fn(outs):
             y_hat2, y_hat_mb2, latents2 = outs
             z, z_p, m_p, logs_p, m_q, logs_q = latents2
+            # pair=False: only the fake half is differentiated here; a
+            # batched pass would pull cotangents through the real half too
+            # (+8 ms, scripts/disc_pair_ab.py).
             logits_r, logits_g, fmap_r, fmap_g = net_d.apply(
                 {"params": d_params}, y_seg.astype(compute_dtype),
-                y_hat2.astype(compute_dtype))
+                y_hat2.astype(compute_dtype), pair=False)
             logits_g = [l.astype(jnp.float32) for l in logits_g]
 
             # matmul-DFT path: differentiable and ~25% faster than the

@@ -150,6 +150,23 @@ def main():
                            method=lambda n, x, gg: n.dec(x, gg))[0]
     timeit("decoder_32f", dec_fn, z_slice, state.g_params, g_bc)
 
+    # ---- per-module forward + vjp (w.r.t. params AND inputs) ----
+    def bwd(name, fn, x, gp, *rest):
+        def run(xx, p):
+            def scalar(args):
+                out = fn(args[0], args[1], *rest)
+                leaves = [t for t in jax.tree.leaves(out)
+                          if jnp.issubdtype(t.dtype, jnp.inexact)]
+                return sum(jnp.sum(t.astype(jnp.float32)) for t in leaves)
+            return jax.grad(scalar)((xx, p))
+        timeit(name, run, x, gp)
+
+    bwd("bwd_enc_spk_lstm", lambda m, gp: spk(m, gp), mel, state.g_params)
+    bwd("bwd_enc_p_wn16", lambda u, gp: enc_p_fn(u, gp), batch["unit"], state.g_params)
+    bwd("bwd_enc_q_wn16", lambda s, gp: enc_q_fn(s, gp, g_bc), batch["spec"], state.g_params)
+    bwd("bwd_flow_4x4", lambda zz, gp: flow_fn(zz, gp, g_bc), z, state.g_params)
+    bwd("bwd_decoder_32f", lambda zz, gp: dec_fn(zz, gp, g_bc), z_slice, state.g_params)
+
     # ---- discriminators ----
     y_seg = jnp.asarray(rng.standard_normal(
         (b, cfg.train.segment_size, 1)).astype(np.float32) * 0.1)

@@ -143,6 +143,21 @@ def test_discriminator_shapes(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_discriminator_batch_pair_matches_two_pass(rng):
+    """batch_pair=True (one real‖fake pass) is numerically identical to the
+    reference's two separate passes — same params pytree, same outputs."""
+    y = jnp.asarray(rng.standard_normal((2, 10240, 1)).astype(np.float32))
+    y_hat = jnp.asarray(rng.standard_normal((2, 10240, 1)).astype(np.float32))
+    m1 = MultiPeriodDiscriminator(width=0.25, batch_pair=True)
+    m2 = MultiPeriodDiscriminator(width=0.25, batch_pair=False)
+    params = m1.init(jax.random.PRNGKey(0), y, y_hat)
+    out1 = m1.apply(params, y, y_hat)
+    out2 = m2.apply(params, y, y_hat)  # same params work unchanged
+    for t1, t2 in zip(jax.tree.leaves(out1), jax.tree.leaves(out2)):
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                                   rtol=1e-5, atol=1e-5)
+
+
 class TestSynthesizer:
     def test_forward_and_infer(self, rng):
         mc = small_model_config()
