@@ -37,3 +37,38 @@ def timed(fn, *args, iters: int = 1):
         out = fn(*args)
     jax.block_until_ready(out)
     return time.perf_counter() - t0, out
+
+
+def time_chained(fn, iters, *args):
+    """Seconds for ``iters`` serialized runs of ``fn(carry, *args)``.
+
+    The canonical timing method on the remote-execution tunnel, where
+    ``block_until_ready`` can return before compute finishes and naive
+    loops over-report by ~70x (BENCH.md): each iteration's input depends on
+    the previous output (scaled to ~1e-15 so numerics are unperturbed), the
+    loop runs as ONE jitted ``lax.scan``, and fetching the final scalar
+    forces completion. Two timed repetitions, min taken — the first run
+    after a compile can overlap residual warmup on the tunnel.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(*a):
+        def body(carry, _):
+            out = fn(carry, *a)
+            return (jnp.mean(out) * 1e-12).astype(jnp.float32), None
+
+        carry, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=iters)
+        return carry
+
+    out = chained(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        val = float(chained(*args))
+        best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(val)
+    return best
