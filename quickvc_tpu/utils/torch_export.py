@@ -1,0 +1,156 @@
+"""Export quickvc_tpu params as reference-layout PyTorch checkpoints.
+
+The inverse of ``torch_port.py``: a generator / discriminator param pytree
+trained here becomes a ``G_*.pth`` / ``D_*.pth`` state dict with the exact
+key names and tensor layouts the reference produces (reference
+utils.py:147-193 checkpoint schema; module layouts models.py:549-642,
+models.py:418-504), so TPU-trained models drop straight into the reference
+ecosystem (its convert.py, its checkpoint tooling, downstream forks).
+
+Layout mappings (see torch_port.py for the forward direction):
+
+- ours ``kernel/v (k, in, out)``  -> torch ``Conv1d.weight (out, in, k)``
+- ours ``v (k, out, in)``         -> torch ``ConvTranspose1d.weight (in, out, k)``
+- ours ``v (kh, kw, in, out)``    -> torch ``Conv2d.weight (out, in, kh, kw)``
+- ours ``g (c,)``                 -> torch ``weight_g (c, 1, 1[, 1])``
+- ours Dense ``kernel (in, out)`` -> torch ``Linear.weight (out, in)``
+- LSTM weights/biases map 1:1 (same i,f,g,o gate order).
+- Our uniformly 2h-wide scanned WaveNet stacks export the last layer's
+  res_skip conv as the reference's h-wide (skip-only) conv — the res half
+  is structurally unused there (reference modules.py:66; our port zero-fills
+  it, torch_port.py:_wavenet).
+
+The optimizer state is NOT exported (optax and torch.optim.AdamW trees are
+not interchangeable); the reference's resume path falls back to scratch
+optimizers via its bare try/except (reference train.py:61-68).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _np(x) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x, np.float32))
+
+
+def _conv_w(v) -> np.ndarray:
+    return _np(v).transpose(2, 1, 0)  # (k, in, out) -> (out, in, k)
+
+
+def _wn_conv(dst: dict, prefix: str, p: Mapping[str, Any], *,
+             g_rank: int = 3, transpose=None) -> None:
+    v = _np(p["v"])
+    dst[f"{prefix}.weight_v"] = (v.transpose(*transpose) if transpose
+                                 else _conv_w(v))
+    dst[f"{prefix}.weight_g"] = _np(p["g"]).reshape((-1,) + (1,) * (g_rank - 1))
+    if "bias" in p:
+        dst[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _plain_conv(dst: dict, prefix: str, p: Mapping[str, Any]) -> None:
+    dst[f"{prefix}.weight"] = _conv_w(p["kernel"])
+    if "bias" in p:
+        dst[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _wavenet(dst: dict, prefix: str, p: Mapping[str, Any]) -> None:
+    """Stacked scan params (leading layer axis) -> per-layer torch convs."""
+    if "cond_layer" in p:
+        _wn_conv(dst, f"{prefix}.cond_layer", p["cond_layer"])
+    ins, rss = p["layers"]["in"], p["layers"]["res_skip"]
+    n_layers = ins["v"].shape[0]
+    h = ins["v"].shape[2]  # (L, k, in=h, out=2h)
+    for i in range(n_layers):
+        _wn_conv(dst, f"{prefix}.in_layers.{i}",
+                 {k: ins[k][i] for k in ins})
+        r = {k: rss[k][i] for k in rss}
+        if i == n_layers - 1:  # reference's last layer is h-wide (skip only)
+            r = {"v": r["v"][..., h:], "g": r["g"][h:], "bias": r["bias"][h:]}
+        _wn_conv(dst, f"{prefix}.res_skip_layers.{i}", r)
+
+
+def _cond_normal(dst: dict, prefix: str, p: Mapping[str, Any]) -> None:
+    _plain_conv(dst, f"{prefix}.pre", p["pre"])
+    _wavenet(dst, f"{prefix}.enc", p["enc"])
+    _plain_conv(dst, f"{prefix}.proj", p["proj"])
+
+
+def export_generator(params: Mapping[str, Any], model_cfg) -> dict[str, np.ndarray]:
+    """quickvc_tpu generator params -> reference SynthesizerTrn state dict."""
+    sd: dict[str, np.ndarray] = {}
+    _cond_normal(sd, "enc_q", params["enc_q"])
+    _cond_normal(sd, "enc_p", params["enc_p"])
+
+    n_flows = getattr(model_cfg, "n_flows", 4)
+    for i in range(n_flows):
+        ours = params["flow"][f"flow_{i}"]
+        tp = f"flow.flows.{2 * i}"  # torch interleaves couplings and Flips
+        _plain_conv(sd, f"{tp}.pre", ours["pre"])
+        _wavenet(sd, f"{tp}.enc", ours["enc"])
+        _plain_conv(sd, f"{tp}.post", ours["post"])
+
+    lstm = params["enc_spk"]["lstm"]
+    for layer in range(3):
+        for theirs, ours in (("weight_ih", "w_ih"), ("weight_hh", "w_hh"),
+                             ("bias_ih", "b_ih"), ("bias_hh", "b_hh")):
+            sd[f"enc_spk.lstm.{theirs}_l{layer}"] = _np(lstm[f"{ours}_l{layer}"])
+    sd["enc_spk.linear.weight"] = _np(params["enc_spk"]["linear"]["kernel"]).T
+    sd["enc_spk.linear.bias"] = _np(params["enc_spk"]["linear"]["bias"])
+
+    dec = params["dec"]
+    backbone = dec["backbone"]
+    _wn_conv(sd, "dec.conv_pre", backbone["conv_pre"])
+    _plain_conv(sd, "dec.cond", backbone["cond"])
+    num_kernels = len(model_cfg.resblock_kernel_sizes)
+    for i in range(len(model_cfg.upsample_rates)):
+        # ConvTranspose: ours (k, out, in) -> torch (in, out, k)
+        _wn_conv(sd, f"dec.ups.{i}", backbone[f"up_{i}"], transpose=(2, 1, 0))
+        for j in range(num_kernels):
+            rb = backbone[f"resblock_{i}_{j}"]
+            rp = f"dec.resblocks.{i * num_kernels + j}"
+            for m in range(3):
+                _wn_conv(sd, f"{rp}.convs1.{m}", rb[f"conv1_{m}"])
+                _wn_conv(sd, f"{rp}.convs2.{m}", rb[f"conv2_{m}"])
+
+    if model_cfg.decoder_kind == "istft":
+        _wn_conv(sd, "dec.conv_post", dec["conv_post"])
+    else:
+        _wn_conv(sd, "dec.subband_conv_post", dec["head"]["subband_conv_post"])
+        if model_cfg.decoder_kind == "ms_istft":
+            _wn_conv(sd, "dec.multistream_conv_post",
+                     dec["multistream_conv_post"])
+    return sd
+
+
+def export_discriminator(params: Mapping[str, Any],
+                         periods=(2, 3, 5, 7, 11)) -> dict[str, np.ndarray]:
+    """quickvc_tpu MPD params -> reference MultiPeriodDiscriminator state dict."""
+    sd: dict[str, np.ndarray] = {}
+    s = params["disc_s"]
+    for i in range(6):
+        _wn_conv(sd, f"discriminators.0.convs.{i}", s[f"WNConv1d_{i}"])
+    _wn_conv(sd, "discriminators.0.conv_post", s["WNConv1d_6"])
+    for d, period in enumerate(periods, start=1):
+        p = params[f"disc_p{period}"]
+        for i in range(5):
+            _wn_conv(sd, f"discriminators.{d}.convs.{i}", p[f"WNConv2d_{i}"],
+                     g_rank=4, transpose=(3, 2, 0, 1))
+        _wn_conv(sd, f"discriminators.{d}.conv_post", p["WNConv2d_5"],
+                 g_rank=4, transpose=(3, 2, 0, 1))
+    return sd
+
+
+def save_reference_checkpoint(path: str, state_dict: Mapping[str, np.ndarray],
+                              iteration: int, learning_rate: float) -> None:
+    """Write a reference-schema ``.pth``: {model, iteration, optimizer, learning_rate}."""
+    import torch
+
+    torch.save({
+        "model": {k: torch.from_numpy(np.asarray(v)) for k, v in state_dict.items()},
+        "iteration": int(iteration),
+        "optimizer": None,  # see module docstring
+        "learning_rate": float(learning_rate),
+    }, path)

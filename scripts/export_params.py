@@ -1,10 +1,18 @@
-"""Export generator params from a training checkpoint for serving.
+"""Export params from a training checkpoint for serving or interop.
 
-Writes a single msgpack file (flax serialization) holding only the
-generator parameters — the deployment artifact equivalent of the
-reference's ``G_*.pth`` (utils.py:183-193), minus optimizer state.
+Two formats:
+
+- ``--format msgpack`` (default): flax serialization of the generator
+  params — the deployment artifact equivalent of the reference's
+  ``G_*.pth`` (utils.py:183-193), minus optimizer state.
+- ``--format torch``: a reference-layout PyTorch checkpoint
+  (utils/torch_export.py) loadable by the reference's own convert.py /
+  train.py resume — TPU-trained models flow back into the reference
+  ecosystem. ``--disc-out`` additionally writes the D_*.pth.
 
     python scripts/export_params.py --model-dir logs/quickvc --out quickvc_g.msgpack
+    python scripts/export_params.py --model-dir logs/quickvc --format torch \
+        --out G_export.pth --disc-out D_export.pth
     python convert.py --ptfile quickvc_g.msgpack ...
 """
 
@@ -26,6 +34,9 @@ def main():
                         help="torch HuBERT-soft checkpoint to convert")
     parser.add_argument("--hubert-out", default=None,
                         help="write HuBERT params as msgpack (torch-free serving)")
+    parser.add_argument("--format", choices=["msgpack", "torch"], default="msgpack")
+    parser.add_argument("--disc-out", default=None,
+                        help="with --format torch: also write the discriminator .pth")
     args = parser.parse_args()
 
     import flax.serialization
@@ -54,6 +65,20 @@ def main():
     if restored is None:
         raise SystemExit(f"no checkpoint under {args.model_dir}/checkpoints")
     state, step = restored
+    if args.format == "torch":
+        from quickvc_tpu.utils.torch_export import (
+            export_discriminator, export_generator, save_reference_checkpoint)
+        # informational field in the reference schema (decay is per-epoch and
+        # the epoch count isn't stored in our state; the base LR is closest)
+        lr = cfg.train.learning_rate
+        sd = export_generator(jax.device_get(state.g_params), cfg.model)
+        save_reference_checkpoint(args.out, sd, step, lr)
+        print(f"exported step-{step} generator to {args.out} (reference layout)")
+        if args.disc_out:
+            dsd = export_discriminator(jax.device_get(state.d_params))
+            save_reference_checkpoint(args.disc_out, dsd, step, lr)
+            print(f"exported step-{step} discriminator to {args.disc_out}")
+        return
     with open(args.out, "wb") as f:
         f.write(flax.serialization.to_bytes(jax.device_get(state.g_params)))
     print(f"exported step-{step} generator params to {args.out}")
