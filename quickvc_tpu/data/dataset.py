@@ -121,7 +121,8 @@ class UnitAudioSpecDataset:
                 np.save(tmp[:-4], spec)  # np.save appends .npy
                 os.replace(tmp, spec_path)
 
-        unit = np.load(path.replace(".wav", ".npy")).astype(np.float32)  # (Frame, 256)
+        unit = np.load(path.replace(".wav", ".npy")).astype(np.float32,
+                                                             copy=False)  # (Frame, 256)
         return {"unit": unit, "spec": spec, "wave": wav[:, None]}
 
 
@@ -208,9 +209,12 @@ def collate_batch(items: list[dict[str, np.ndarray]], bucket_lo: int,
     b = len(items)
     unit_dim = items[0]["unit"].shape[1]
     freq = items[0]["spec"].shape[1]
-    out_unit = np.zeros((b, seg, unit_dim), np.float32)
-    out_spec = np.zeros((b, seg, freq), np.float32)
-    out_wave = np.zeros((b, seg * hop, 1), np.float32)
+    # empty + explicit pad-tail zeroing: most rows are fully overwritten
+    # (bucketed lengths >= the crop), so np.zeros would double the memory
+    # traffic of the assembly (~128 MB/batch at batch 64)
+    out_unit = np.empty((b, seg, unit_dim), np.float32)
+    out_spec = np.empty((b, seg, freq), np.float32)
+    out_wave = np.empty((b, seg * hop, 1), np.float32)
 
     for i, it in enumerate(items):
         n_frames = min(it["unit"].shape[0], it["spec"].shape[0],
@@ -221,6 +225,10 @@ def collate_batch(items: list[dict[str, np.ndarray]], bucket_lo: int,
         out_unit[i, :take] = it["unit"][start : start + take]
         out_spec[i, :take] = it["spec"][start : start + take]
         out_wave[i, : take * hop] = it["wave"][start * hop : (start + take) * hop]
+        if take < seg:
+            out_unit[i, take:] = 0.0
+            out_spec[i, take:] = 0.0
+            out_wave[i, take * hop:] = 0.0
 
     # Drop the trailing frame (reference data_utils_new_new.py:210-213).
     return {
@@ -231,13 +239,20 @@ def collate_batch(items: list[dict[str, np.ndarray]], bucket_lo: int,
 
 
 class DataLoader:
-    """Prefetching loader: parallel item fetch + batch assembly off-thread.
+    """Prefetching loader: whole batches assemble in parallel worker threads.
 
-    Item loads (wav decode + spec cache + unit npy) fan out over a thread
-    pool (I/O + numpy release the GIL); assembled batches queue up ahead of
-    the consumer. At TPU step rates (~150 ms for batch 64) serial loading
-    would bottleneck the chip — the reference leans on torch DataLoader
-    subprocesses for the same reason (train.py:52).
+    Each batch (item loads — wav decode + spec cache + unit npy — plus the
+    collate crop/pad copies) is ONE task on a thread pool; ``num_workers``
+    batches assemble concurrently and up to ``num_workers + prefetch`` are
+    in flight, yielded in sampler order. Batch-level granularity is what
+    scales: with per-item fan-out the collate memcpys serialize behind the
+    pool and cap throughput below the TPU step rate (measured: 6 -> 50+
+    batches/s at batch 64, scripts/data_bench.py). numpy I/O and memcpys
+    release the GIL. The reference leans on torch DataLoader subprocesses
+    for the same reason (train.py:52).
+
+    Crops are deterministic given (seed, epoch, batch index) — independent
+    of thread timing.
     """
 
     def __init__(self, dataset: UnitAudioSpecDataset, sampler: BucketSampler,
@@ -253,26 +268,26 @@ class DataLoader:
     def __len__(self) -> int:
         return len(self.sampler)
 
+    def _assemble(self, batch_index: int, bucket: int,
+                  idxs: list[int]) -> dict[str, np.ndarray]:
+        rng = np.random.default_rng(
+            (self.seed, self.sampler.epoch, batch_index))
+        items = [self.dataset[i] for i in idxs]
+        return collate_batch(items, self.sampler.bucket_lo[bucket],
+                             self.cfg, rng)
+
     def __iter__(self):
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         batches = list(self.sampler)
-        q: Queue = Queue(maxsize=self.prefetch)
-        stop = object()
-
-        def assembler():
-            rng = np.random.default_rng(self.seed + self.sampler.epoch)
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for k, idxs in batches:
-                    items = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(collate_batch(items, self.sampler.bucket_lo[k],
-                                        self.cfg, rng))
-            q.put(stop)
-
-        t = threading.Thread(target=assembler, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        in_flight = self.num_workers + self.prefetch
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending: deque = deque()
+            nxt = 0
+            while nxt < len(batches) or pending:
+                while nxt < len(batches) and len(pending) < in_flight:
+                    k, idxs = batches[nxt]
+                    pending.append(pool.submit(self._assemble, nxt, k, idxs))
+                    nxt += 1
+                yield pending.popleft().result()

@@ -1,0 +1,115 @@
+"""Input-pipeline throughput: does the host loader keep the chip fed?
+
+The full-size GAN step is 112 ms at batch 64 (BENCH.md) -> the loader must
+assemble >= 571 items/s to keep one chip busy (and N chips need N x that
+from each host's shard). This bench generates a synthetic on-disk dataset
+(real wav files + unit .npy, reference data layout), then measures
+DataLoader epochs:
+
+- cold: first epoch computes + writes the .spec.npy cache per item
+  (the reference does the same with .spec.pt, data_utils_new_new.py:113-118)
+- warm: subsequent epochs read the cache
+
+Prints items/s, batches/s, audio-seconds/s, and the headroom factor over
+the TPU step rate. Host-only (run under JAX_PLATFORMS=cpu).
+
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+        python scripts/data_bench.py --n-files 512
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+STEP_MS = 112.3  # measured full-size GAN step, batch 64 bf16 (BENCH.md)
+
+
+def build_dataset(root: str, n_files: int, seed: int = 0) -> str:
+    from quickvc_tpu.data.audio_io import write_wav_int16
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(f"{root}/data", exist_ok=True)
+    hop, sr = 320, 16000
+    paths = []
+    for i in range(n_files):
+        frames = int(rng.integers(250, 600))  # 5-12 s utterances
+        n = frames * hop
+        t = np.arange(n) / sr
+        w = (0.3 * np.sin(2 * np.pi * (100 + 30 * (i % 7)) * t)
+             + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        p = f"{root}/data/utt{i:05d}.wav"
+        write_wav_int16(p, w, sr)
+        np.save(p.replace(".wav", ".npy"),
+                rng.standard_normal((frames, 256)).astype(np.float32))
+        paths.append(p)
+    with open(f"{root}/train.txt", "w") as f:
+        f.writelines(p + "\n" for p in paths)
+    return f"{root}/train.txt"
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n-files", type=int, default=512)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--num-workers", type=int,
+                        default=min(8, os.cpu_count() or 1))
+    parser.add_argument("--root", default="/tmp/qvc_data_bench")
+    args = parser.parse_args()
+
+    from quickvc_tpu.config import QuickVCConfig
+    from quickvc_tpu.data.dataset import (BucketSampler, DataLoader,
+                                          UnitAudioSpecDataset)
+    from quickvc_tpu.train.loop import BUCKET_BOUNDARIES
+
+    shutil.rmtree(args.root, ignore_errors=True)
+    t0 = time.perf_counter()
+    listfile = build_dataset(args.root, args.n_files)
+    print(f"built {args.n_files} files in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    cfg = QuickVCConfig()
+    cfg.data.training_files = listfile
+    cfg.data.validation_files = listfile
+    cfg.train.batch_size = args.batch_size
+    ds = UnitAudioSpecDataset("train", cfg)
+    sampler = BucketSampler(ds.lengths, args.batch_size, BUCKET_BOUNDARIES)
+    loader = DataLoader(ds, sampler, cfg, num_workers=args.num_workers)
+
+    def one_epoch(name):
+        sampler.set_epoch(0 if name == "cold" else 1)
+        t0 = time.perf_counter()
+        n_batches = n_items = 0
+        audio_s = 0.0
+        for batch in loader:
+            n_batches += 1
+            n_items += batch["wave"].shape[0]
+            audio_s += batch["wave"].shape[0] * batch["wave"].shape[1] / 16000
+        dt = time.perf_counter() - t0
+        rec = {
+            "epoch": name,
+            "items_per_s": round(n_items / dt, 1),
+            "batches_per_s": round(n_batches / dt, 2),
+            "audio_seconds_per_s": round(audio_s / dt, 1),
+            # headroom over ONE chip's consumption at the measured step rate
+            "chip_feed_headroom": round(
+                (n_batches / dt) / (1000.0 / STEP_MS), 2),
+        }
+        print(json.dumps(rec), flush=True)
+
+    one_epoch("cold")   # computes + writes .spec.npy caches
+    one_epoch("warm")
+    one_epoch("warm2")
+    shutil.rmtree(args.root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
