@@ -141,3 +141,40 @@ def test_directory_corpus_mode(tmp_path, rng):
     assert len(train) == 4 and len(evals) == 2
     assert not (set(train) & set(evals))
     assert all(p.endswith("utt2.wav") for p in evals)
+
+
+def test_loader_deterministic_and_ordered(synth_dataset):
+    """Loader batches are identical across re-iterations of the same epoch
+    (crops keyed by (seed, epoch, batch index)), arrive in sampler order,
+    and change when the epoch changes."""
+    cfg = e2e_config(synth_dataset)
+    ds = UnitAudioSpecDataset("train", cfg)
+    sampler = BucketSampler(ds.lengths, cfg.train.batch_size,
+                            [32, 40, 50, 60, 70, 80, 90, 100], shuffle=True)
+    loader = DataLoader(ds, sampler, cfg, num_workers=4, seed=7)
+
+    sampler.set_epoch(0)
+    a = list(loader)
+    b = list(loader)
+    assert len(a) == len(sampler) > 0
+    for x, y in zip(a, b):
+        for k in ("unit", "spec", "wave"):
+            np.testing.assert_array_equal(x[k], y[k])
+
+    sampler.set_epoch(1)
+    c = list(loader)
+    assert any(x["unit"].shape != y["unit"].shape or
+               not np.array_equal(x["unit"], y["unit"])
+               for x, y in zip(a, c))
+
+
+def test_loader_worker_exception_propagates(synth_dataset):
+    """A failing item load surfaces to the consumer, not a hang."""
+    cfg = e2e_config(synth_dataset)
+    ds = UnitAudioSpecDataset("train", cfg)
+    sampler = BucketSampler(ds.lengths, cfg.train.batch_size,
+                            [32, 40, 50, 60, 70, 80, 90, 100], shuffle=False)
+    loader = DataLoader(ds, sampler, cfg, num_workers=2)
+    ds.audiopaths[0] = "/nonexistent/missing.wav"
+    with pytest.raises(Exception):
+        list(loader)
