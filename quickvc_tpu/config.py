@@ -48,6 +48,11 @@ class TrainConfig:
     num_hosts: int = 1
     data_axis: str = "data"
     disc_width: float = 1.0         # discriminator channel scale (tests use < 1)
+    guard_nonfinite: bool = True    # skip an optimizer update when its grads
+                                    # contain inf/nan (the reference's
+                                    # GradScaler step-skip, train.py:133-137,
+                                    # 155-162, generalized to bf16 — no loss
+                                    # scaling, just the skip)
 
 
 @dataclass

@@ -42,10 +42,22 @@ from quickvc_tpu.ops.slicing import slice_segments
 from quickvc_tpu.train.state import TrainState, make_optimizer
 
 
+def _all_finite(tree) -> jax.Array:
+    """Scalar bool: every leaf of ``tree`` is finite."""
+    leaves = [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(tree)]
+    return jnp.stack(leaves).all()
+
+
+def _select_state(ok: jax.Array, new, old):
+    """Elementwise pick ``new`` when ok else ``old`` (same pytree)."""
+    return jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, old)
+
+
 def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis):
     """Build the jitted (state, batch, rng) -> (state, metrics) step."""
 
     opt = make_optimizer(cfg)
+    guard = cfg.train.guard_nonfinite
     hop = cfg.data.hop_length
     seg_frames = cfg.segment_frames
     seg_samples = cfg.train.segment_size
@@ -95,6 +107,15 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis):
             d_loss_fn, has_aux=True)(state.d_params)
         d_updates, d_opt = opt.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
+        if guard:
+            # GradScaler-parity step skip (reference train.py:133-137): a
+            # non-finite D grad leaves params AND optimizer moments untouched.
+            # Loss finiteness is checked too: JAX's |x| JVP is select-based,
+            # so a NaN primal can yield finite-but-meaningless grads (torch
+            # propagates the NaN and GradScaler skips — we must match that).
+            d_ok = _all_finite(d_grads) & jnp.isfinite(loss_disc)
+            d_params = _select_state(d_ok, d_params, state.d_params)
+            d_opt = _select_state(d_ok, d_opt, state.d_opt)
 
         # ---- G phase (against the updated D) ----
         # Loss as a function of the generator *outputs*; its cotangents are
@@ -143,6 +164,12 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis):
         metrics["loss/d/total"] = loss_disc
         metrics["loss/d/r"] = losses_d_r
         metrics["loss/d/g"] = losses_d_g
+        if guard:
+            g_ok = _all_finite(g_grads) & jnp.isfinite(loss_g_total)
+            g_params = _select_state(g_ok, g_params, state.g_params)
+            g_opt = _select_state(g_ok, g_opt, state.g_opt)
+            metrics["guard/d_skipped"] = 1.0 - d_ok.astype(jnp.float32)
+            metrics["guard/g_skipped"] = 1.0 - g_ok.astype(jnp.float32)
 
         new_state = TrainState(step=state.step + 1, g_params=g_params,
                                d_params=d_params, g_opt=g_opt, d_opt=d_opt)

@@ -84,6 +84,41 @@ class TestTrainStep:
         s2, m2 = step(state, batch, jax.random.PRNGKey(7))
         np.testing.assert_allclose(float(m1["loss/g/total"]), float(m2["loss/g/total"]), rtol=1e-6)
 
+    def test_nonfinite_guard_skips_update(self, rng):
+        """A batch that poisons the grads must leave params + moments untouched.
+
+        Reference parity: under AMP the reference's GradScaler silently skips
+        optimizer steps whose grads contain inf/nan (train.py:133-137,
+        155-162); ``guard_nonfinite`` is that skip without the loss scaling.
+        """
+        cfg = tiny_config()
+        assert cfg.train.guard_nonfinite  # on by default
+        state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(0))
+        basis = jnp.asarray(mel_filterbank(cfg.data.sampling_rate, cfg.data.filter_length,
+                                           cfg.data.n_mel_channels))
+        step = jax.jit(make_train_step(cfg, net_g, net_d, basis))
+        batch = make_batch(cfg, rng)
+        bad = dict(batch, wave=jnp.full_like(batch["wave"], jnp.nan))
+
+        skipped, m_bad = step(state, bad, jax.random.PRNGKey(1))
+        assert float(m_bad["guard/d_skipped"]) == 1.0
+        assert float(m_bad["guard/g_skipped"]) == 1.0
+        assert int(skipped.step) == 1  # step counter still advances (reference: global_step does too)
+        for old, new in ((state.g_params, skipped.g_params),
+                         (state.d_params, skipped.d_params),
+                         (state.g_opt, skipped.g_opt),
+                         (state.d_opt, skipped.d_opt)):
+            for a, b in zip(jax.tree.leaves(old), jax.tree.leaves(new)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # the same compiled step still trains on a clean batch
+        trained, m_ok = step(state, batch, jax.random.PRNGKey(1))
+        assert float(m_ok["guard/d_skipped"]) == 0.0
+        assert float(m_ok["guard/g_skipped"]) == 0.0
+        moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                             state.g_params, trained.g_params)
+        assert max(jax.tree.leaves(moved)) > 0
+
     def test_vjp_step_matches_two_forward_reference(self, rng):
         """The single-forward (jax.vjp) step == an explicit two-forward step.
 
