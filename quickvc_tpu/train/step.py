@@ -42,14 +42,31 @@ from quickvc_tpu.ops.slicing import slice_segments
 from quickvc_tpu.train.state import TrainState, make_optimizer
 
 
-def _all_finite(tree) -> jax.Array:
-    """Scalar bool: every leaf of ``tree`` is finite."""
-    leaves = [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree.leaves(tree)]
-    return jnp.stack(leaves).all()
+def _finite_flag(tree, *scalars) -> jax.Array:
+    """Scalar bool: ``tree`` (and the extra scalars) contain no inf/nan.
+
+    One fused f32 sum per leaf instead of per-leaf isfinite masks: NaN/Inf
+    propagate into the total, so a non-finite total ⇔ poisoned grads (a
+    finite-valued overflow of the sum itself would need ~1e38 magnitudes
+    and merely skips one step — conservative). Costs one read of the grads
+    vs ~3 full param/moment passes for a where-select of the states.
+    """
+    total = jnp.zeros((), jnp.float32)
+    for leaf in jax.tree.leaves(tree):
+        total = total + jnp.sum(leaf.astype(jnp.float32))
+    for s in scalars:
+        total = total + s.astype(jnp.float32)
+    return jnp.isfinite(total)
 
 
 def _select_state(ok: jax.Array, new, old):
-    """Elementwise pick ``new`` when ok else ``old`` (same pytree)."""
+    """Elementwise pick ``new`` when ok else ``old`` (same pytree).
+
+    Measured A/B at full size (b64 x 512 f bf16, 2026-08-19): this
+    where-select formulation costs +1.2 ms/step (+1%) — XLA fuses the
+    selects into the optimizer-update epilogue — while a ``lax.cond`` skip
+    (optax.apply_if_finite style) costs +2.9 ms: the cond boundary blocks
+    fusion/aliasing even though only one branch executes."""
     return jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, old)
 
 
@@ -109,11 +126,11 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis):
         d_params = optax.apply_updates(state.d_params, d_updates)
         if guard:
             # GradScaler-parity step skip (reference train.py:133-137): a
-            # non-finite D grad leaves params AND optimizer moments untouched.
-            # Loss finiteness is checked too: JAX's |x| JVP is select-based,
-            # so a NaN primal can yield finite-but-meaningless grads (torch
-            # propagates the NaN and GradScaler skips — we must match that).
-            d_ok = _all_finite(d_grads) & jnp.isfinite(loss_disc)
+            # non-finite D grad/loss leaves params AND optimizer moments
+            # untouched. Loss finiteness is checked too: JAX's |x| JVP is
+            # select-based, so a NaN primal can yield finite-but-meaningless
+            # grads (torch propagates the NaN and GradScaler skips).
+            d_ok = _finite_flag(d_grads, loss_disc)
             d_params = _select_state(d_ok, d_params, state.d_params)
             d_opt = _select_state(d_ok, d_opt, state.d_opt)
 
@@ -159,15 +176,16 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis):
         (g_grads,) = g_vjp(out_grads)
         g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
+        if guard:
+            g_ok = _finite_flag(g_grads, loss_g_total)
+            g_params = _select_state(g_ok, g_params, state.g_params)
+            g_opt = _select_state(g_ok, g_opt, state.g_opt)
 
         metrics = dict(g_aux)
         metrics["loss/d/total"] = loss_disc
         metrics["loss/d/r"] = losses_d_r
         metrics["loss/d/g"] = losses_d_g
         if guard:
-            g_ok = _all_finite(g_grads) & jnp.isfinite(loss_g_total)
-            g_params = _select_state(g_ok, g_params, state.g_params)
-            g_opt = _select_state(g_ok, g_opt, state.g_opt)
             metrics["guard/d_skipped"] = 1.0 - d_ok.astype(jnp.float32)
             metrics["guard/g_skipped"] = 1.0 - g_ok.astype(jnp.float32)
 

@@ -32,6 +32,8 @@ def main():
     parser.add_argument("--small", action="store_true",
                         help="reduced model depths (CPU-friendly)")
     parser.add_argument("--precision", choices=["f32", "bf16"], default="f32")
+    parser.add_argument("--no-guard", action="store_true",
+                        help="disable the non-finite update guard (A/B its cost)")
     args = parser.parse_args()
 
     import jax
@@ -44,6 +46,8 @@ def main():
 
     cfg = QuickVCConfig()
     cfg.train.precision = args.precision
+    if args.no_guard:
+        cfg.train.guard_nonfinite = False
     if args.small:
         cfg.train.segment_size = 2560
         cfg.train.disc_width = 0.25
