@@ -72,6 +72,7 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
     # global_step from the epoch; we store the step and derive the epoch).
     epoch0 = global_step // max(1, len(loader)) + 1
     t_last = time.perf_counter()
+    nonfinite_logs = 0
 
     def device_batches(host_iter):
         """Prefetch: overlap host->device transfer with the running step."""
@@ -113,15 +114,32 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                 t_last = time.perf_counter()
                 g_total = float(m["loss/g/total"])
                 d_total = float(m["loss/d/total"])
-                # Failure detection: a non-finite loss means the run is
-                # diverging — stop now rather than writing poisoned
-                # checkpoints (resume picks up the last good one).
+                # Failure detection. With guard_nonfinite the step itself
+                # skips poisoned updates (params stay finite), so a
+                # non-finite loss is survivable — warn and keep going, but
+                # abort if EVERY logged step in a row is non-finite (the
+                # data/model is genuinely broken, not one bad batch).
+                # Without the guard, abort immediately rather than write
+                # poisoned checkpoints (resume picks up the last good one).
                 if not (np.isfinite(g_total) and np.isfinite(d_total)):
-                    ckpt.wait()
-                    raise FloatingPointError(
-                        f"non-finite loss at step {global_step}: "
-                        f"g={g_total} d={d_total}; restart resumes from the "
-                        f"last finite checkpoint")
+                    nonfinite_logs += 1
+                    guarded = cfg.train.guard_nonfinite
+                    if guarded and nonfinite_logs < 10:
+                        logger.warning(
+                            "non-finite loss at step %d (g=%s d=%s); update "
+                            "skipped by guard, continuing", global_step,
+                            g_total, d_total)
+                    else:
+                        ckpt.wait()
+                        raise FloatingPointError(
+                            f"non-finite loss at step {global_step}: "
+                            f"g={g_total} d={d_total}"
+                            + (" for 10 consecutive logged steps" if guarded
+                               else "")
+                            + "; restart resumes from the last finite "
+                            "checkpoint")
+                else:
+                    nonfinite_logs = 0
                 logger.info("epoch %d step %d lr %.3e | g %.3f d %.3f mel %.3f kl %.3f "
                             "(%.2f s since last log)", epoch, global_step, lr,
                             g_total, d_total,
