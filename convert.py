@@ -57,6 +57,22 @@ def load_generator_params(path: str, cfg):
     return restored[0].g_params
 
 
+def pad_to_bucket(wav: np.ndarray, bucket: int) -> np.ndarray:
+    """Reflect-pad a waveform up to the next multiple of ``bucket`` samples.
+
+    Reflection keeps the padded tail in-distribution (natural-sounding audio
+    rather than digital silence), so HuBERT units / speaker windows over the
+    pad stay meaningful; the synthesized tail past the true length is cropped.
+    Very short inputs reflect repeatedly (np reflect caps at len-1 per round).
+    """
+    target = int(np.ceil(max(len(wav), bucket) / bucket)) * bucket
+    out = wav
+    while len(out) < target:
+        take = min(target - len(out), max(len(out) - 1, 1))
+        out = np.pad(out, (0, take), mode="reflect" if len(out) > 1 else "edge")
+    return out
+
+
 def load_hubert_params(path: str):
     if path.endswith(".msgpack"):  # torch-free artifact (scripts/export_params.py)
         import flax.serialization
@@ -92,6 +108,12 @@ def main():
                              "utterance length, constant memory")
     parser.add_argument("--chunk-frames", type=int, default=96)
     parser.add_argument("--context-frames", type=int, default=48)
+    parser.add_argument("--bucket-seconds", type=float, default=1.0,
+                        help="pad utterances up to this grain so the whole "
+                             "batch costs a handful of XLA compiles (same "
+                             "strategy as dataset/encode.py); 0 = exact "
+                             "lengths, one compile per distinct length "
+                             "(reference behavior)")
     args = parser.parse_args()
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -127,6 +149,9 @@ def main():
     with open(args.txtpath) as f:
         pairs = [line.strip().split("|") for line in f if line.strip()]
 
+    bucket = int(args.bucket_seconds * sr)
+    hop = cfg.data.hop_length
+
     key = jax.random.PRNGKey(cfg.train.seed)
     for title, src, tgt in pairs:
         t0 = time.time()
@@ -135,6 +160,17 @@ def main():
         wav_tgt, _ = trim_silence(wav_tgt, top_db=20)
         wav_src, ssr = read_wav(src)
         wav_src = resample(wav_src, ssr, sr)
+
+        # Shape bucketing (dataset/encode.py strategy): reflect-pad both
+        # utterances up to the bucket grain so every jitted stage compiles
+        # once per bucket instead of once per distinct length; the output is
+        # cropped back to the source's true frame count. The reference
+        # recompiles nothing (eager torch) but pays per-item dispatch; XLA
+        # pays per-SHAPE, so static shapes are the TPU-native equivalent.
+        n_frames = len(wav_src) // hop
+        if bucket:
+            wav_src = pad_to_bucket(wav_src, bucket)
+            wav_tgt = pad_to_bucket(wav_tgt, bucket)
 
         # Pallas fused featurization on TPU (4x the XLA path, scripts/mel_bench.py)
         from quickvc_tpu.ops.fused_mel import wave_to_mel_fast
@@ -147,10 +183,14 @@ def main():
         key, sub = jax.random.split(key)
         audio = infer_fn(g_params, unit, g_vec, sub)
         audio = np.asarray(audio[0, :, 0], dtype=np.float32)
+        if bucket:
+            audio = audio[: n_frames * hop]
 
         name = f"{time.strftime('%m-%d_%H-%M')}_{title}.wav" if args.use_timestamp else f"{title}.wav"
         write_wav(os.path.join(args.outdir, name), audio, sr)
         print(f"{title}: {len(audio) / sr:.2f}s audio in {time.time() - t0:.2f}s")
+    print(f"XLA compiles: infer={infer_fn._cache_size()} "
+          f"units={units_fn._cache_size()} embed={embed_fn._cache_size()}")
 
 
 if __name__ == "__main__":

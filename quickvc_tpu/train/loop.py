@@ -32,7 +32,8 @@ BUCKET_BOUNDARIES = [32, 40, 50, 60, 70, 80, 90, 100, 110, 120, 160, 200, 230,
 
 
 def run(cfg: QuickVCConfig, max_steps: int | None = None,
-        profile_steps: int = 0) -> None:
+        profile_steps: int = 0,
+        init_torch: tuple[str, str | None] | None = None) -> None:
     logger = get_logger(cfg.model_dir)
     writer = Summarizer(cfg.model_dir)
     writer_eval = Summarizer(cfg.model_dir + "/eval")
@@ -58,6 +59,22 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
     if restored is not None:
         state, start_step = restored
         logger.info("Resumed from checkpoint at step %d", start_step)
+    else:
+        # No orbax checkpoint: warm-start from reference-layout .pth files —
+        # explicit paths (--init-from-torch) or, like reference train.py:61-68,
+        # the newest G_*.pth/D_*.pth found in model_dir. This is the official
+        # fine-tune-from-G_1200000.pth workflow (reference quickvc.ipynb).
+        from quickvc_tpu.train.state import warm_start_from_torch
+        from quickvc_tpu.utils.torch_port import latest_torch_checkpoint
+
+        g_path, d_path = init_torch if init_torch else (
+            latest_torch_checkpoint(cfg.model_dir, "G_"),
+            latest_torch_checkpoint(cfg.model_dir, "D_"))
+        if g_path is not None:
+            state, it = warm_start_from_torch(state, cfg, g_path, d_path)
+            logger.info("Warm-started from torch checkpoint %s%s at iteration "
+                        "%d (fresh optimizers)", g_path,
+                        f" + {d_path}" if d_path else " (D from scratch)", it)
     state = jax.device_put(state, rep)
 
     basis = jnp.asarray(mel_filterbank(cfg.data.sampling_rate, cfg.data.filter_length,
@@ -117,23 +134,31 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                 # Failure detection. With guard_nonfinite the step itself
                 # skips poisoned updates (params stay finite), so a
                 # non-finite loss is survivable — warn and keep going, but
-                # abort if EVERY logged step in a row is non-finite (the
+                # abort if EVERY logged step in a row is unhealthy (the
                 # data/model is genuinely broken, not one bad batch).
+                # "Unhealthy" is non-finite losses OR a guard-skipped update:
+                # bf16 can overflow only in the backward pass, leaving losses
+                # finite while every update is silently dropped — the
+                # guard/{d,g}_skipped metrics are the only witness of that.
                 # Without the guard, abort immediately rather than write
                 # poisoned checkpoints (resume picks up the last good one).
-                if not (np.isfinite(g_total) and np.isfinite(d_total)):
+                d_skip = float(m.get("guard/d_skipped", 0.0))
+                g_skip = float(m.get("guard/g_skipped", 0.0))
+                losses_finite = np.isfinite(g_total) and np.isfinite(d_total)
+                if not losses_finite or d_skip or g_skip:
                     nonfinite_logs += 1
                     guarded = cfg.train.guard_nonfinite
                     if guarded and nonfinite_logs < 10:
                         logger.warning(
-                            "non-finite loss at step %d (g=%s d=%s); update "
-                            "skipped by guard, continuing", global_step,
-                            g_total, d_total)
+                            "unhealthy step %d (g=%s d=%s, guard skipped: "
+                            "d=%g g=%g); params untouched, continuing",
+                            global_step, g_total, d_total, d_skip, g_skip)
                     else:
                         ckpt.wait()
                         raise FloatingPointError(
-                            f"non-finite loss at step {global_step}: "
-                            f"g={g_total} d={d_total}"
+                            f"unhealthy training at step {global_step}: "
+                            f"g={g_total} d={d_total} "
+                            f"d_skipped={d_skip} g_skipped={g_skip}"
                             + (" for 10 consecutive logged steps" if guarded
                                else "")
                             + "; restart resumes from the last finite "
@@ -158,42 +183,86 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
     ckpt.wait()
 
 
+# evaluate()'s jitted programs, cached per (generator, basis) so repeated
+# eval calls across the run reuse ONE compiled program per length bucket
+# (recreating jax.jit closures per call would recompile every eval).
+_EVAL_FNS: dict = {}
+
+
+def _eval_fns(cfg: QuickVCConfig, net_g: SynthesizerTrn, basis):
+    key = (id(net_g), int(basis.shape[0]), int(basis.shape[1]))
+    if key not in _EVAL_FNS:
+        from quickvc_tpu.ops.fused_mel import wave_to_mel_fast
+
+        def synth(params, unit, g_vec):
+            y_hat = net_g.apply(params, unit, g_vec, 0.0,
+                                method=SynthesizerTrn.infer)
+            y_hat_mel = wave_to_mel_fast(
+                y_hat[..., 0], cfg.data.sampling_rate, cfg.data.filter_length,
+                cfg.data.hop_length, cfg.data.win_length,
+                cfg.data.n_mel_channels, cfg.data.mel_fmin, cfg.data.mel_fmax)
+            return y_hat, y_hat_mel
+
+        _EVAL_FNS[key] = {
+            "mel": jax.jit(lambda spec: spec_to_mel(spec, basis)),
+            "embed": jax.jit(lambda p, m: net_g.apply(
+                p, m, method=SynthesizerTrn.embed_speaker)),
+            "synth": jax.jit(synth),
+        }
+    return _EVAL_FNS[key]
+
+
+def _pad_frames(x: np.ndarray, target: int) -> np.ndarray:
+    """Reflect-pad the leading (frame) axis up to ``target`` rows."""
+    out = x
+    while out.shape[0] < target:
+        take = min(target - out.shape[0], max(out.shape[0] - 1, 1))
+        out = np.pad(out, [(0, take)] + [(0, 0)] * (out.ndim - 1),
+                     mode="reflect" if out.shape[0] > 1 else "edge")
+    return out
+
+
 def evaluate(global_step: int, cfg: QuickVCConfig, net_g: SynthesizerTrn,
              state, eval_ds: UnitAudioSpecDataset, basis, writer: Summarizer,
              max_items: int = 7) -> None:
-    """Reconstruction eval on a few items (reference train.py:196-222)."""
+    """Reconstruction eval on a few items (reference train.py:196-222).
+
+    Static-shape serving: items are reflect-padded up to 1-s frame buckets
+    so every jitted stage compiles once per bucket (shared across eval
+    calls), not once per item length; metrics/plots are cropped back to the
+    true frame count (same strategy as dataset/encode.py and convert.py).
+    """
     from quickvc_tpu.models.encoders import embed_utterance_batch
 
     params = {"params": state.g_params}
+    fns = _eval_fns(cfg, net_g, basis)
+    hop = cfg.data.hop_length
+    bucket = max(1, cfg.data.sampling_rate // hop)  # 1 s of frames
     mel_l1s = []
     for i in range(min(max_items, len(eval_ds))):
         item = eval_ds[i]
-        unit = jnp.asarray(item["unit"][None])              # (1, F, 256)
-        spec = jnp.asarray(item["spec"][None])
-        n = min(unit.shape[1], spec.shape[1])
-        unit, spec = unit[:, :n], spec[:, :n]
-        mel = spec_to_mel(spec, basis)
-        g_vec = embed_utterance_batch(
-            lambda p, m: net_g.apply(p, m, method=SynthesizerTrn.embed_speaker),
-            params, mel)
-        y_hat = net_g.apply(params, unit, g_vec, 0.0, method=SynthesizerTrn.infer)
-        from quickvc_tpu.ops.fused_mel import wave_to_mel_fast
-        y_hat_mel = wave_to_mel_fast(y_hat[..., 0], cfg.data.sampling_rate,
-                                     cfg.data.filter_length, cfg.data.hop_length,
-                                     cfg.data.win_length, cfg.data.n_mel_channels,
-                                     cfg.data.mel_fmin, cfg.data.mel_fmax)
+        n = min(item["unit"].shape[0], item["spec"].shape[0])
+        padded = int(np.ceil(n / bucket)) * bucket
+        unit = jnp.asarray(_pad_frames(item["unit"][:n], padded)[None])
+        spec = jnp.asarray(_pad_frames(item["spec"][:n], padded)[None])
+        mel = fns["mel"](spec)
+        g_vec = embed_utterance_batch(fns["embed"], params, mel)
+        y_hat, y_hat_mel = fns["synth"](params, unit, g_vec)
+        mel_np = np.asarray(mel)[:, :n]
+        y_hat_mel_np = np.asarray(y_hat_mel)[:, :n]
         writer.images(global_step, {
-            f"gen/mel_{i}": plot_spectrogram(np.asarray(y_hat_mel[0]).T),
-            f"gt/mel_{i}": plot_spectrogram(np.asarray(mel[0]).T),
+            f"gen/mel_{i}": plot_spectrogram(y_hat_mel_np[0].T),
+            f"gt/mel_{i}": plot_spectrogram(mel_np[0].T),
         })
         writer.audios(global_step, {
-            f"gen/audio_{i}": np.asarray(y_hat[0, :, 0]),
+            f"gen/audio_{i}": np.asarray(y_hat[0, : n * hop, 0]),
             f"gt/audio_{i}": item["wave"][:, 0],
         }, cfg.data.sampling_rate)
         # Reconstruction quality metric: log-mel L1 between the generated
         # audio and the source mel (the quantity BASELINE.md gates on).
-        nmin = min(y_hat_mel.shape[1], mel.shape[1])
-        mel_l1s.append(float(jnp.mean(jnp.abs(y_hat_mel[:, :nmin] - mel[:, :nmin]))))
+        nmin = min(y_hat_mel_np.shape[1], mel_np.shape[1])
+        mel_l1s.append(float(np.mean(np.abs(
+            y_hat_mel_np[:, :nmin] - mel_np[:, :nmin]))))
     if mel_l1s:
         writer.scalars(global_step, {"eval/mel_l1": float(np.mean(mel_l1s))})
     writer.flush()

@@ -83,6 +83,62 @@ def create_train_state(cfg: QuickVCConfig, rng: jax.Array,
     return state, net_g, net_d
 
 
+def _check_tree_compat(ours, ported, name: str) -> None:
+    """Fail loudly (with a diff) when a ported tree doesn't match ours."""
+    ref = jax.tree.structure(ours)
+    got = jax.tree.structure(ported)
+    if ref != got:
+        ours_paths = {jax.tree_util.keystr(p) for p, _ in
+                      jax.tree_util.tree_flatten_with_path(ours)[0]}
+        got_paths = {jax.tree_util.keystr(p) for p, _ in
+                     jax.tree_util.tree_flatten_with_path(ported)[0]}
+        raise ValueError(
+            f"ported {name} params don't match the model structure; "
+            f"missing={sorted(ours_paths - got_paths)} "
+            f"unexpected={sorted(got_paths - ours_paths)}")
+    bad = [(jax.tree_util.keystr(p), tuple(b.shape), tuple(a.shape))
+           for (p, a), b in zip(jax.tree_util.tree_flatten_with_path(ours)[0],
+                                jax.tree.leaves(ported))
+           if tuple(a.shape) != tuple(b.shape)]
+    if bad:
+        msg = ", ".join(f"{k}: got {g} want {w}" for k, g, w in bad[:8])
+        raise ValueError(f"ported {name} param shape mismatch "
+                         f"(wrong config for this checkpoint?): {msg}")
+
+
+def warm_start_from_torch(state: TrainState, cfg: QuickVCConfig, g_path: str,
+                          d_path: str | None = None) -> tuple[TrainState, int]:
+    """Initialize G (and optionally D) params from reference ``.pth`` files.
+
+    This is the fine-tuning entry point of the reference workflow: its
+    train.py:61-68 resumes from the newest ``G_*.pth``/``D_*.pth`` in the
+    model dir, and the official Colab (quickvc.ipynb) fine-tunes from the
+    shipped ``G_1200000.pth``/``D_1200000.pth``. Optimizer states start
+    fresh (torch AdamW moments are not portable into optax; the reference
+    itself falls back to fresh optimizers on schema mismatch via its bare
+    try/except). The step counter resumes from the checkpoint's iteration.
+    """
+    from quickvc_tpu.utils import torch_port
+
+    sd_g, iteration, _ = torch_port.load_reference_checkpoint(g_path)
+    g_params = torch_port.to_jax(torch_port.port_generator(sd_g, cfg.model))
+    _check_tree_compat(state.g_params, g_params, "generator")
+    d_params = state.d_params
+    if d_path is not None:
+        sd_d, _, _ = torch_port.load_reference_checkpoint(d_path)
+        d_params = torch_port.to_jax(torch_port.port_discriminator(sd_d))
+        _check_tree_compat(state.d_params, d_params, "discriminator")
+    opt = make_optimizer(cfg)
+    new_state = TrainState(
+        step=jnp.asarray(iteration, jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt=opt.init(g_params),
+        d_opt=opt.init(d_params),
+    )
+    return new_state, iteration
+
+
 def param_count(params) -> int:
     return sum(int(np.prod(p.shape)) if hasattr(p, "shape") else 0
                for p in jax.tree.leaves(params))

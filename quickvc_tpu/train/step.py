@@ -70,8 +70,15 @@ def _select_state(ok: jax.Array, new, old):
     return jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, old)
 
 
-def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis):
-    """Build the jitted (state, batch, rng) -> (state, metrics) step."""
+def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
+                    debug_grads: bool = False):
+    """Build the jitted (state, batch, rng) -> (state, metrics) step.
+
+    ``debug_grads``: also return the raw D/G gradient pytrees in the metrics
+    (``debug/d_grads``, ``debug/g_grads``) — test-only, used by the
+    gradient-differential parity test against the reference's autograd
+    (reference train.py:123-156 backward semantics).
+    """
 
     opt = make_optimizer(cfg)
     guard = cfg.train.guard_nonfinite
@@ -188,6 +195,9 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis):
         if guard:
             metrics["guard/d_skipped"] = 1.0 - d_ok.astype(jnp.float32)
             metrics["guard/g_skipped"] = 1.0 - g_ok.astype(jnp.float32)
+        if debug_grads:
+            metrics["debug/d_grads"] = d_grads
+            metrics["debug/g_grads"] = g_grads
 
         new_state = TrainState(step=state.step + 1, g_params=g_params,
                                d_params=d_params, g_opt=g_opt, d_opt=d_opt)

@@ -29,6 +29,45 @@ def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
             for k, v in sd.items()}
 
 
+def load_reference_checkpoint(path: str) -> tuple[dict[str, np.ndarray], int, float]:
+    """Full reference-schema ``.pth`` -> (state_dict, iteration, learning_rate).
+
+    Reference ``utils.load_checkpoint`` (utils.py:147-168) reads the same
+    four-key dict; like it, missing metadata falls back to 0/0.0 so bare
+    state dicts still load.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        sd, it = ckpt["model"], int(ckpt.get("iteration") or 0)
+        lr = float(ckpt.get("learning_rate") or 0.0)
+    else:
+        sd, it, lr = ckpt, 0, 0.0
+    sd = {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in sd.items()}
+    return sd, it, lr
+
+
+def latest_torch_checkpoint(model_dir: str, prefix: str = "G_") -> str | None:
+    """Newest ``{prefix}<step>.pth`` in a directory, by numeric step.
+
+    Reference ``utils.latest_checkpoint_path`` (utils.py:196-203): it sorts
+    the glob by the integer suffix; we do the same (a lexicographic sort
+    would pick G_999999 over G_1200000).
+    """
+    import glob
+    import os
+    import re
+
+    def step_of(p: str) -> int:
+        m = re.search(r"(\d+)\.pth$", p)
+        return int(m.group(1)) if m else -1
+
+    paths = glob.glob(os.path.join(model_dir, f"{prefix}*.pth"))
+    return max(paths, key=step_of) if paths else None
+
+
 def _conv_w(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.transpose(2, 1, 0))
 

@@ -168,6 +168,41 @@ def test_loader_deterministic_and_ordered(synth_dataset):
                for x, y in zip(a, c))
 
 
+def test_evaluate_static_shapes(synth_dataset, tmp_path):
+    """evaluate() pads items to 1-s frame buckets: one compile per bucket,
+    reused across eval calls — not one per item length (VERDICT weak #2)."""
+    from quickvc_tpu.dsp.mel import mel_filterbank as mf
+    from quickvc_tpu.train.loop import _eval_fns, evaluate
+    from quickvc_tpu.utils.logging import Summarizer
+
+    cfg = e2e_config(synth_dataset)
+    ds = UnitAudioSpecDataset("eval", cfg)
+    state, net_g, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+    basis = jnp.asarray(mf(16000, cfg.data.filter_length, 80))
+    writer = Summarizer(str(tmp_path))
+    evaluate(1, cfg, net_g, state, ds, basis, writer, max_items=4)
+    evaluate(2, cfg, net_g, state, ds, basis, writer, max_items=4)
+    fns = _eval_fns(cfg, net_g, basis)
+    # items span 1.0-1.75 s -> at most 2 one-second buckets across BOTH calls
+    assert fns["synth"]._cache_size() <= 2
+    assert fns["mel"]._cache_size() <= 2
+
+
+def test_convert_pad_to_bucket():
+    """convert.py's reflect bucketing: exact multiples, reflected content."""
+    from convert import pad_to_bucket
+
+    w = np.arange(10, dtype=np.float32)
+    out = pad_to_bucket(w, 16)
+    assert out.shape == (16,) and np.array_equal(out[:10], w)
+    assert np.array_equal(out[10:], w[-2:-8:-1])  # reflected tail
+    # shorter than one bucket, and pad > len (multi-round reflect)
+    assert pad_to_bucket(np.ones(3, np.float32), 16).shape == (16,)
+    assert pad_to_bucket(np.ones(1, np.float32), 4).shape == (4,)
+    # already aligned: unchanged
+    assert pad_to_bucket(w[:8], 8) is w[:8] or np.array_equal(pad_to_bucket(w[:8], 8), w[:8])
+
+
 def test_loader_worker_exception_propagates(synth_dataset):
     """A failing item load surfaces to the consumer, not a hang."""
     cfg = e2e_config(synth_dataset)

@@ -22,7 +22,21 @@ def main():
     parser.add_argument("--profile-steps", type=int, default=0,
                         help="capture an XLA trace of N steps into "
                              "model_dir/profile (view in TensorBoard)")
+    parser.add_argument("--init-from-torch", type=str, nargs="+", default=None,
+                        metavar=("G.pth", "D.pth"),
+                        help="warm-start from reference-layout torch "
+                             "checkpoints (fine-tuning); without this flag "
+                             "the newest G_*.pth/D_*.pth in model_dir are "
+                             "picked up automatically when no orbax "
+                             "checkpoint exists (reference train.py:61-68)")
     args = parser.parse_args()
+    init_torch = None
+    if args.init_from_torch:
+        if len(args.init_from_torch) > 2:
+            parser.error("--init-from-torch takes G.pth [D.pth]")
+        init_torch = (args.init_from_torch[0],
+                      args.init_from_torch[1] if len(args.init_from_torch) > 1
+                      else None)
 
     if args.distributed:
         import jax
@@ -31,7 +45,8 @@ def main():
     cfg = get_config(args.config, args.model, args.modelroot)
 
     from quickvc_tpu.train.loop import run
-    run(cfg, max_steps=args.max_steps, profile_steps=args.profile_steps)
+    run(cfg, max_steps=args.max_steps, profile_steps=args.profile_steps,
+        init_torch=init_torch)
 
 
 if __name__ == "__main__":
