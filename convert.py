@@ -84,12 +84,13 @@ def load_hubert_params(path: str):
             params = flax.serialization.from_bytes(abstract["params"], f.read())
         return {"params": jax.tree.map(jnp.asarray, params)}
     import torch
-    from quickvc_tpu.utils.hubert_port import port_hubert
+    from quickvc_tpu.utils.hubert_port import port_hubert, validate_hubert_sd
     from quickvc_tpu.utils.torch_port import to_jax
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("hubert", ckpt) if isinstance(ckpt, dict) else ckpt
     sd = {k: v.detach().numpy() for k, v in sd.items() if hasattr(v, "detach")}
+    validate_hubert_sd(sd)  # loud contract check before porting anything
     return {"params": to_jax(port_hubert(sd))}
 
 

@@ -31,17 +31,34 @@ BUCKET_BOUNDARIES = [32, 40, 50, 60, 70, 80, 90, 100, 110, 120, 160, 200, 230,
                      260, 300, 350, 400, 450, 500, 600, 700, 800, 900, 1000]
 
 
+def _place(tree, sharding):
+    """Host pytree -> globally-sharded jax arrays.
+
+    Single-process: plain device_put. Multi-process: every process holds
+    either the full value (replicated shardings) or its per-host shard
+    (batch shardings); ``make_array_from_process_local_data`` assembles the
+    global array — device_put cannot target non-addressable devices.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree.map(lambda x: jax.make_array_from_process_local_data(
+        sharding, np.asarray(x)), tree)
+
+
 def run(cfg: QuickVCConfig, max_steps: int | None = None,
         profile_steps: int = 0,
         init_torch: tuple[str, str | None] | None = None) -> None:
-    logger = get_logger(cfg.model_dir)
-    writer = Summarizer(cfg.model_dir)
-    writer_eval = Summarizer(cfg.model_dir + "/eval")
+    n_proc, pid = jax.process_count(), jax.process_index()
+    # Per-rank log files; TB events from rank 0 only (reference train.py:33-43
+    # gates its writers on rank==0 the same way).
+    logger = get_logger(cfg.model_dir,
+                        "train.log" if pid == 0 else f"train.rank{pid}.log")
+    writer = Summarizer(cfg.model_dir) if pid == 0 else None
+    writer_eval = Summarizer(cfg.model_dir + "/eval") if pid == 0 else None
 
     # Data
     train_ds = UnitAudioSpecDataset("train", cfg)
     eval_ds = UnitAudioSpecDataset("eval", cfg)
-    n_proc, pid = jax.process_count(), jax.process_index()
     sampler = BucketSampler(train_ds.lengths, cfg.train.batch_size, BUCKET_BOUNDARIES,
                             shuffle=True, num_replicas=n_proc, rank=pid)
     loader = DataLoader(train_ds, sampler, cfg, seed=cfg.train.seed)
@@ -54,10 +71,13 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                 param_count(state.g_params) / 1e6, param_count(state.d_params) / 1e6)
 
     ckpt = CheckpointManager(cfg.model_dir)
+    # Restore straight onto the replicated sharding: in multi-process runs
+    # orbax reassembles global arrays only when the abstract tree carries
+    # shardings (a host-numpy restore can't span non-addressable devices).
     restored = ckpt.restore_latest(jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state))
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep), state))
     if restored is not None:
-        state, start_step = restored
+        state, start_step = restored  # already placed on `rep`
         logger.info("Resumed from checkpoint at step %d", start_step)
     else:
         # No orbax checkpoint: warm-start from reference-layout .pth files —
@@ -75,13 +95,25 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
             logger.info("Warm-started from torch checkpoint %s%s at iteration "
                         "%d (fresh optimizers)", g_path,
                         f" + {d_path}" if d_path else " (D from scratch)", it)
-    state = jax.device_put(state, rep)
+        state = _place(state, rep)
 
     basis = jnp.asarray(mel_filterbank(cfg.data.sampling_rate, cfg.data.filter_length,
                                        cfg.data.n_mel_channels))
     step_fn = jax.jit(make_train_step(cfg, net_g, net_d, basis),
                       in_shardings=(rep, bsh, rep), out_shardings=(rep, rep),
                       donate_argnums=(0,))
+
+    if n_proc > 1:
+        # Establish the global collective context while ranks are still in
+        # lockstep: the first real collective otherwise runs after the step
+        # compile, and per-rank compile-time skew (e.g. a one-sided
+        # compilation-cache hit) can blow the transport's connect deadline
+        # (observed: Gloo's 30 s GetKeyValue timeout on CPU). The tiny
+        # all-reduce compiles in milliseconds on every rank, so the
+        # communicator for this device set is created — and cached — here.
+        probe = _place(np.zeros((jax.device_count(),), np.float32), bsh)
+        jax.device_get(jax.jit(jnp.sum, in_shardings=(bsh,),
+                               out_shardings=rep)(probe))
 
     global_step = int(jax.device_get(state.step))
     base_key = jax.random.PRNGKey(cfg.train.seed + 17)
@@ -92,11 +124,14 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
     nonfinite_logs = 0
 
     def device_batches(host_iter):
-        """Prefetch: overlap host->device transfer with the running step."""
+        """Prefetch: overlap host->device transfer with the running step.
+
+        Each host loads its rank's slice of the global batch (the sampler
+        shards per rank); ``_place`` assembles the globally-sharded array.
+        """
         pending = None
         for host_batch in host_iter:
-            nxt = jax.device_put(
-                {k: jnp.asarray(v) for k, v in host_batch.items()}, bsh)
+            nxt = _place({k: np.asarray(v) for k, v in host_batch.items()}, bsh)
             if pending is not None:
                 yield pending
             pending = nxt
@@ -109,8 +144,12 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
         # Per-epoch exponential decay (reference train.py:71-72,80-81) via the
         # injected hyperparam — no recompilation.
         lr = cfg.train.learning_rate * (cfg.train.lr_decay ** (epoch - 1))
-        state.g_opt.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-        state.d_opt.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        # two distinct arrays: aliasing one into both donated leaves trips
+        # XLA's "donate the same buffer twice" check
+        state.g_opt.hyperparams["learning_rate"] = _place(
+            np.asarray(lr, np.float32), rep)
+        state.d_opt.hyperparams["learning_rate"] = _place(
+            np.asarray(lr, np.float32), rep)
         for batch in device_batches(loader):
             # Profiling harness (reference has only a commented-out profiler,
             # train.py:109-115): trace [5, 5 + profile_steps) after warmup.
@@ -121,7 +160,8 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.info("profile trace written to %s/profile", cfg.model_dir)
-            rng = jax.random.fold_in(base_key, global_step)
+            rng = _place(np.asarray(jax.random.fold_in(base_key, global_step)),
+                         rep)
             with mesh:
                 state, metrics = step_fn(state, batch, rng)
 
@@ -169,14 +209,19 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                             "(%.2f s since last log)", epoch, global_step, lr,
                             g_total, d_total,
                             float(m["loss/g/mel"]), float(m["loss/g/kl"]), dt)
-                writer.scalars(global_step, m)
+                if writer:
+                    writer.scalars(global_step, m)
             if cfg.train.eval_interval and global_step % cfg.train.eval_interval == 0:
-                if jax.process_index() == 0:
+                if pid == 0:
                     evaluate(global_step, cfg, net_g, state, eval_ds, basis, writer_eval)
-                ckpt.save(global_step, jax.device_get(state))
+                # All processes call save (orbax coordinates the multi-host
+                # write); the state stays a sharded jax tree — orbax snapshots
+                # it to host before returning, so the next step's donation of
+                # these buffers is safe.
+                ckpt.save(global_step, state)
             global_step += 1
             if max_steps is not None and global_step >= max_steps:
-                ckpt.save(global_step, jax.device_get(state))
+                ckpt.save(global_step, state)
                 ckpt.wait()
                 return
         logger.info("====> Epoch %d done", epoch)
@@ -234,7 +279,13 @@ def evaluate(global_step: int, cfg: QuickVCConfig, net_g: SynthesizerTrn,
     """
     from quickvc_tpu.models.encoders import embed_utterance_batch
 
-    params = {"params": state.g_params}
+    g_params = state.g_params
+    if jax.process_count() > 1:
+        # evaluate() runs on rank 0 only: pull the (replicated, hence locally
+        # addressable) params to host so the single-process jit below never
+        # references arrays spanning non-addressable devices.
+        g_params = jax.device_get(g_params)
+    params = {"params": g_params}
     fns = _eval_fns(cfg, net_g, basis)
     hop = cfg.data.hop_length
     bucket = max(1, cfg.data.sampling_rate // hop)  # 1 s of frames

@@ -45,18 +45,20 @@ from quickvc_tpu.train.state import TrainState, make_optimizer
 def _finite_flag(tree, *scalars) -> jax.Array:
     """Scalar bool: ``tree`` (and the extra scalars) contain no inf/nan.
 
-    One fused f32 sum per leaf instead of per-leaf isfinite masks: NaN/Inf
-    propagate into the total, so a non-finite total ⇔ poisoned grads (a
-    finite-valued overflow of the sum itself would need ~1e38 magnitudes
-    and merely skips one step — conservative). Costs one read of the grads
-    vs ~3 full param/moment passes for a where-select of the states.
+    One fused f32 sum per leaf + a scalar isfinite per leaf, AND-reduced:
+    NaN/Inf propagate into a leaf's sum, so a non-finite flag ⇔ poisoned
+    grads. Checking per leaf (rather than one global accumulator) bounds
+    the false-skip risk to a single leaf's sum overflowing f32 — ~1e38
+    magnitudes inside ONE tensor, at which point skipping the step is the
+    right call anyway. Still one read of the grads vs ~3 full param/moment
+    passes for the where-select of the states.
     """
-    total = jnp.zeros((), jnp.float32)
+    ok = jnp.asarray(True)
     for leaf in jax.tree.leaves(tree):
-        total = total + jnp.sum(leaf.astype(jnp.float32))
+        ok = ok & jnp.isfinite(jnp.sum(leaf.astype(jnp.float32)))
     for s in scalars:
-        total = total + s.astype(jnp.float32)
-    return jnp.isfinite(total)
+        ok = ok & jnp.isfinite(s.astype(jnp.float32))
+    return ok
 
 
 def _select_state(ok: jax.Array, new, old):

@@ -63,6 +63,9 @@ def main():
     parser.add_argument("--num-workers", type=int,
                         default=min(8, os.cpu_count() or 1))
     parser.add_argument("--root", default="/tmp/qvc_data_bench")
+    parser.add_argument("--worker-sweep", action="store_true",
+                        help="after cache warmup, measure warm epochs at "
+                             "1/2/4/8 workers (thread-scaling curve)")
     args = parser.parse_args()
 
     from quickvc_tpu.config import QuickVCConfig
@@ -84,18 +87,19 @@ def main():
     sampler = BucketSampler(ds.lengths, args.batch_size, BUCKET_BOUNDARIES)
     loader = DataLoader(ds, sampler, cfg, num_workers=args.num_workers)
 
-    def one_epoch(name):
+    def one_epoch(name, ldr):
         sampler.set_epoch(0 if name == "cold" else 1)
         t0 = time.perf_counter()
         n_batches = n_items = 0
         audio_s = 0.0
-        for batch in loader:
+        for batch in ldr:
             n_batches += 1
             n_items += batch["wave"].shape[0]
             audio_s += batch["wave"].shape[0] * batch["wave"].shape[1] / 16000
         dt = time.perf_counter() - t0
         rec = {
             "epoch": name,
+            "workers": ldr.num_workers if hasattr(ldr, "num_workers") else args.num_workers,
             "items_per_s": round(n_items / dt, 1),
             "batches_per_s": round(n_batches / dt, 2),
             "audio_seconds_per_s": round(audio_s / dt, 1),
@@ -105,9 +109,14 @@ def main():
         }
         print(json.dumps(rec), flush=True)
 
-    one_epoch("cold")   # computes + writes .spec.npy caches
-    one_epoch("warm")
-    one_epoch("warm2")
+    one_epoch("cold", loader)   # computes + writes .spec.npy caches
+    one_epoch("warm", loader)
+    one_epoch("warm2", loader)
+    if args.worker_sweep:
+        for w in (1, 2, 4, 8):
+            ldr = DataLoader(ds, sampler, cfg, num_workers=w)
+            ldr.num_workers = w
+            one_epoch(f"warm_w{w}", ldr)
     shutil.rmtree(args.root, ignore_errors=True)
 
 

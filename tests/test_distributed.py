@@ -1,0 +1,108 @@
+"""Two-process (multi-host) distributed training (VERDICT missing #5).
+
+Launches two real ``jax.distributed`` processes (localhost coordinator, 4
+virtual CPU devices each → an 8-device global mesh) through
+``distributed_driver.py`` and verifies the full multi-host story:
+
+- training steps execute with per-host batch shards + GSPMD gradient psum,
+- orbax checkpointing neither double-writes nor deadlocks across processes,
+- a second run() resumes from the multi-host checkpoint,
+- both processes end with bit-identical generator params,
+- rank-sharded sampling (disjoint halves) keeps ranks in lockstep.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from quickvc_tpu.config import DataConfig, ModelConfig, QuickVCConfig, TrainConfig
+from quickvc_tpu.data.audio_io import write_wav_int16
+
+UNIT_DIM = 12
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture
+def dist_sandbox(tmp_path, rng):
+    """8 synthetic utterances + a saved config with an on-disk model_dir."""
+    paths = []
+    for i in range(8):
+        t = 16000 + (i % 4) * 4000
+        wav = (0.3 * np.sin(2 * np.pi * (200 + 40 * i) * np.arange(t) / 16000)
+               + 0.05 * rng.standard_normal(t)).astype(np.float32)
+        p = tmp_path / f"utt{i}.wav"
+        write_wav_int16(str(p), wav, 16000)
+        np.save(str(p).replace(".wav", ".npy"),
+                rng.standard_normal((t // 320, UNIT_DIM)).astype(np.float32))
+        paths.append(str(p))
+    list_path = tmp_path / "train.txt"
+    list_path.write_text("\n".join(paths) + "\n")
+
+    cfg = QuickVCConfig(
+        train=TrainConfig(segment_size=2560, max_speclen=32, precision="f32",
+                          batch_size=4,  # per-rank; global batch 8 over 8 devices
+                          disc_width=0.25, eval_interval=2, log_interval=1),
+        data=DataConfig(training_files=str(list_path),
+                        validation_files=str(list_path)),
+        model=ModelConfig(inter_channels=16, hidden_channels=16,
+                          upsample_initial_channel=32, gin_channels=16,
+                          unit_channels=UNIT_DIM, resblock_kernel_sizes=(3,),
+                          resblock_dilation_sizes=((1, 3, 5),),
+                          enc_wn_layers=2, flow_wn_layers=2, n_flows=2),
+        model_dir=str(tmp_path / "run"),
+    )
+    os.makedirs(cfg.model_dir, exist_ok=True)
+    cfg_path = str(tmp_path / "config.json")
+    cfg.save(cfg_path)
+    return cfg_path, cfg.model_dir
+
+
+def test_two_process_training_and_resume(dist_sandbox):
+    cfg_path, model_dir = dist_sandbox
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    driver = os.path.join(os.path.dirname(__file__), "distributed_driver.py")
+
+    procs = [subprocess.Popen(
+        [sys.executable, driver, str(port), str(i), cfg_path, "2", "4"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"rank output tail:\n{out[-4000:]}"
+
+    lines = [ln for out in outs for ln in out.splitlines()
+             if ln.startswith("DRIVER")]
+    assert len(lines) == 2, outs
+    # both ranks restored step 4 with bit-identical generator params
+    assert all("step=4" in ln for ln in lines), lines
+    sums = {ln.split("gsum=")[1] for ln in lines}
+    assert len(sums) == 1, f"ranks diverged: {lines}"
+
+    # the second run resumed from the multi-host checkpoint of the first
+    log0 = open(os.path.join(model_dir, "train.log")).read()
+    assert "Resumed from checkpoint at step 2" in log0
+    # per-rank logging: rank 1 wrote its own file and stepped in lockstep
+    log1 = open(os.path.join(model_dir, "train.rank1.log")).read()
+    assert "step 3" in log0 and "step 3" in log1
+    # no double-write: exactly the expected checkpoint steps exist
+    steps = sorted(int(d) for d in os.listdir(
+        os.path.join(model_dir, "checkpoints")) if d.isdigit())
+    assert steps == [0, 2, 4], steps

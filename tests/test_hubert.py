@@ -75,6 +75,127 @@ def test_hubert_matches_torch_replica(rng):
     np.testing.assert_allclose(np.asarray(out), golden, atol=2e-4, rtol=2e-3)
 
 
+def _hf_small_config():
+    from transformers import HubertConfig
+
+    return HubertConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, conv_dim=(32,) * 7,
+        conv_kernel=(10, 3, 3, 3, 3, 2, 2), conv_stride=(5, 2, 2, 2, 2, 2, 2),
+        num_conv_pos_embeddings=8, num_conv_pos_embedding_groups=4,
+        feat_extract_norm="group", do_stable_layer_norm=False, conv_bias=False,
+        hidden_act="gelu", hidden_dropout=0.0, attention_dropout=0.0,
+        feat_proj_dropout=0.0, layerdrop=0.0, apply_spec_augment=False)
+
+
+def _hf_to_bshall_sd(hf_sd: dict, num_layers: int) -> dict:
+    """HuggingFace HubertModel state dict -> bshall/hubert key layout."""
+    g = lambda k: hf_sd[k].detach().numpy()  # noqa: E731
+    sd = {
+        "feature_extractor.norm0.weight":
+            g("feature_extractor.conv_layers.0.layer_norm.weight"),
+        "feature_extractor.norm0.bias":
+            g("feature_extractor.conv_layers.0.layer_norm.bias"),
+        "feature_projection.norm.weight": g("feature_projection.layer_norm.weight"),
+        "feature_projection.norm.bias": g("feature_projection.layer_norm.bias"),
+        "feature_projection.projection.weight": g("feature_projection.projection.weight"),
+        "feature_projection.projection.bias": g("feature_projection.projection.bias"),
+        "positional_embedding.conv.weight_g":
+            g("encoder.pos_conv_embed.conv.parametrizations.weight.original0"),
+        "positional_embedding.conv.weight_v":
+            g("encoder.pos_conv_embed.conv.parametrizations.weight.original1"),
+        "positional_embedding.conv.bias": g("encoder.pos_conv_embed.conv.bias"),
+        "norm.weight": g("encoder.layer_norm.weight"),
+        "norm.bias": g("encoder.layer_norm.bias"),
+    }
+    for i in range(7):
+        sd[f"feature_extractor.conv{i}.weight"] = g(
+            f"feature_extractor.conv_layers.{i}.conv.weight")
+    for i in range(num_layers):
+        hf = f"encoder.layers.{i}"
+        ours = f"encoder.layers.{i}"
+        sd[f"{ours}.self_attn.in_proj_weight"] = np.concatenate(
+            [g(f"{hf}.attention.{p}_proj.weight") for p in "qkv"], axis=0)
+        sd[f"{ours}.self_attn.in_proj_bias"] = np.concatenate(
+            [g(f"{hf}.attention.{p}_proj.bias") for p in "qkv"], axis=0)
+        sd[f"{ours}.self_attn.out_proj.weight"] = g(f"{hf}.attention.out_proj.weight")
+        sd[f"{ours}.self_attn.out_proj.bias"] = g(f"{hf}.attention.out_proj.bias")
+        sd[f"{ours}.linear1.weight"] = g(f"{hf}.feed_forward.intermediate_dense.weight")
+        sd[f"{ours}.linear1.bias"] = g(f"{hf}.feed_forward.intermediate_dense.bias")
+        sd[f"{ours}.linear2.weight"] = g(f"{hf}.feed_forward.output_dense.weight")
+        sd[f"{ours}.linear2.bias"] = g(f"{hf}.feed_forward.output_dense.bias")
+        sd[f"{ours}.norm1.weight"] = g(f"{hf}.layer_norm.weight")
+        sd[f"{ours}.norm1.bias"] = g(f"{hf}.layer_norm.bias")
+        sd[f"{ours}.norm2.weight"] = g(f"{hf}.final_layer_norm.weight")
+        sd[f"{ours}.norm2.bias"] = g(f"{hf}.final_layer_norm.bias")
+    return sd
+
+
+def test_hubert_matches_huggingface_independent_oracle(rng):
+    """Differential vs transformers.HubertModel — an INDEPENDENT third-party
+    implementation of the same architecture (fairseq wav2vec2 lineage that
+    bshall/hubert wraps). Unlike the torch replica above, none of this
+    oracle's forward code is authored in this repo, so a shared misreading
+    of the conventions (pos-conv trim side, post-norm order, erf GELU,
+    group-norm placement) cannot pass it."""
+    from transformers import HubertModel
+
+    torch.manual_seed(7)
+    hf = HubertModel(_hf_small_config()).eval()
+    d, unit, layers = 64, 24, 2
+    sd = _hf_to_bshall_sd(hf.state_dict(), layers)
+    # soft-unit head: HubertModel stops at hidden states; apply the same
+    # random projection on both sides
+    w = rng.standard_normal((unit, d)).astype(np.float32) * 0.1
+    b = rng.standard_normal(unit).astype(np.float32) * 0.1
+    sd["proj.weight"], sd["proj.bias"] = w, b
+
+    params = to_jax(port_hubert(sd, num_layers=layers))
+    ours = HubertSoft(embed_dim=d, num_layers=layers, num_heads=4,
+                      ffn_dim=128, extractor_channels=32, unit_dim=unit,
+                      pos_kernel_size=8, pos_groups=4)
+
+    wav = rng.standard_normal((2, 3200)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        hidden = hf(torch.from_numpy(wav)).last_hidden_state.numpy()
+    golden = hidden @ w.T + b
+    out = np.asarray(ours.apply({"params": params}, jnp.asarray(wav)))
+    assert out.shape == golden.shape
+    np.testing.assert_allclose(out, golden, atol=5e-4, rtol=2e-3)
+
+
+def test_hubert_sd_contract(rng):
+    """validate_hubert_sd: accepts the documented bshall/hubert layout
+    (+ training-only keys), loudly rejects renamed/mis-shaped entries."""
+    import pytest
+
+    from quickvc_tpu.utils.hubert_port import (
+        expected_hubert_sd_shapes,
+        validate_hubert_sd,
+    )
+
+    exp = expected_hubert_sd_shapes()
+    assert len(exp) == 20 + 12 * 12  # header+extractor keys + per-layer
+    sd = {k: np.zeros(s, np.float32) for k, s in exp.items()}
+    sd["masked_spec_embed"] = np.zeros(768, np.float32)   # training-only
+    sd["label_embedding.weight"] = np.zeros((100, 256), np.float32)
+    validate_hubert_sd(sd)  # passes
+
+    renamed = dict(sd)
+    renamed["proj.Weight"] = renamed.pop("proj.weight")
+    with pytest.raises(ValueError, match="proj.weight"):
+        validate_hubert_sd(renamed)
+
+    shifted = dict(sd)
+    shifted["feature_extractor.conv0.weight"] = np.zeros((512, 1, 11), np.float32)
+    with pytest.raises(ValueError, match="conv0"):
+        validate_hubert_sd(shifted)
+
+    with pytest.raises(ValueError, match="missing"):
+        validate_hubert_sd({k: v for k, v in sd.items()
+                            if not k.startswith("norm.")})
+
+
 def test_hubert_units_frame_rate(rng):
     """units(): (B, T) 16 kHz -> (B, T//320, unit_dim) 50 Hz."""
     ours = HubertSoft(embed_dim=32, num_layers=1, num_heads=2, ffn_dim=64,

@@ -24,6 +24,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 REF = "/root/reference"
@@ -151,6 +152,103 @@ def test_infer_matches_reference(ref_models, rng, decoder):
     err = np.abs(ours[:n] - golden[:n]).max() / scale
     assert err < 5e-3, f"decoder={decoder}: rel max err {err}"
     np.testing.assert_allclose(ours[:n], golden[:n], atol=5e-3 * scale, rtol=0)
+
+
+FULL_KW = dict(
+    inter_channels=192, hidden_channels=192,
+    resblock_kernel_sizes=[3, 7, 11],
+    resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+    upsample_rates=[5, 4], upsample_initial_channel=512,
+    upsample_kernel_sizes=[16, 16], gen_istft_n_fft=16, gen_istft_hop_size=4,
+    subbands=4, gin_channels=256, ms_istft_vits=True,
+)  # configs/quickvc.json production widths (reference models.py:549-642)
+
+
+def test_infer_matches_reference_full_size(ref_models, rng):
+    """Default-config (192/512, 16-layer WN) differential — the width-16
+    tests don't exercise the full-width weight-norm/grouped-conv port paths
+    (VERDICT missing #4). Also pins the f64 conv/flow path at ~1e-6 rel
+    (the iSTFT head runs f32 by design, so the waveform gate stays 5e-3)."""
+    from quickvc_tpu.config import ModelConfig
+    from quickvc_tpu.models.encoders import embed_utterance_batch
+    from quickvc_tpu.models.synthesizer import SynthesizerTrn
+    from quickvc_tpu.utils.torch_port import port_generator, to_jax
+
+    torch.manual_seed(4)
+    spec_ch, seg = 641, 32
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        ref_net = ref_models.SynthesizerTrn(spec_ch, seg, **FULL_KW).eval()
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+    f_unit, f_mel = 80, 200
+    unit = rng.standard_normal((1, 256, f_unit)).astype(np.float32) * 0.3
+    mel = rng.standard_normal((1, 80, f_mel)).astype(np.float32) * 0.3
+
+    orig_randn_like = torch.randn_like
+    torch.randn_like = lambda x, **k: torch.zeros_like(x)
+    try:
+        with torch.no_grad():
+            golden = ref_net.infer(torch.from_numpy(unit), torch.from_numpy(mel))
+    finally:
+        torch.randn_like = orig_randn_like
+    golden = golden[0, 0].numpy() if golden.dim() == 3 else golden[0].numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref_net.state_dict().items()
+          if "stft.window" not in k and "updown_filter" not in k
+          and not k.startswith("dec.pqmf.")}
+    mc = ModelConfig()  # production defaults == FULL_KW
+    params = to_jax(port_generator(sd, mc))
+    net = SynthesizerTrn(spec_channels=spec_ch, segment_size=seg, model=mc)
+
+    mel_tl = jnp.asarray(mel.transpose(0, 2, 1))
+    g_vec = embed_utterance_batch(
+        lambda p, m: net.apply({"params": p}, m, method=SynthesizerTrn.embed_speaker),
+        params, mel_tl)
+    wave = net.apply({"params": params}, jnp.asarray(unit.transpose(0, 2, 1)),
+                     g_vec, 0.0, method=SynthesizerTrn.infer)
+    ours = np.asarray(wave)[0, :, 0]
+
+    n = min(len(ours), len(golden))
+    assert abs(len(ours) - len(golden)) <= 64, (len(ours), len(golden))
+    scale = np.abs(golden[:n]).max() + 1e-9
+    err = np.abs(ours[:n] - golden[:n]).max() / scale
+    assert err < 5e-3, f"full-size infer rel max err {err}"
+
+    # f64 tightening: speaker embedding + prior encoder + inverse flow at
+    # full size, ~3 orders tighter than the f32 waveform gate.
+    ref64 = ref_net.double()
+    torch.randn_like = lambda x, **k: torch.zeros_like(x)
+    try:
+        with torch.no_grad():
+            g_t = ref64.enc_spk.embed_utterance(
+                torch.from_numpy(mel).double().transpose(1, 2)).unsqueeze(-1)
+            z_p_t, m_p_t, _ = ref64.enc_p(torch.from_numpy(unit).double())
+            z_t = ref64.flow(z_p_t, g=g_t, reverse=True)
+    finally:
+        torch.randn_like = orig_randn_like
+
+    with jax.enable_x64():
+        params64 = jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64), params)
+        g64 = embed_utterance_batch(
+            lambda p, m: net.apply({"params": p}, m,
+                                   method=SynthesizerTrn.embed_speaker),
+            params64, jnp.asarray(mel.transpose(0, 2, 1), jnp.float64))
+        bound = net.bind({"params": params64})
+        z_p, m_p, _ = bound.enc_p(
+            jnp.asarray(unit.transpose(0, 2, 1), jnp.float64), noise_scale=0.0)
+        z = bound.flow(z_p, g64[:, None, :], reverse=True)
+    for ours64, gold_t, name, tol in [
+        (np.asarray(g64)[0], g_t[0, :, 0].numpy(), "g_vec", 1e-6),
+        (np.asarray(m_p)[0].T, m_p_t[0].numpy(), "m_p", 1e-6),
+        (np.asarray(z)[0].T, z_t[0].numpy(), "z", 1e-6),
+    ]:
+        scale = np.abs(gold_t).max() + 1e-12
+        err = np.abs(ours64 - gold_t).max() / scale
+        assert err < tol, f"f64 {name}: rel max err {err}"
 
 
 @pytest.fixture(scope="module")
