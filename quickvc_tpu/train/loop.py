@@ -213,7 +213,11 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                     writer.scalars(global_step, m)
             if cfg.train.eval_interval and global_step % cfg.train.eval_interval == 0:
                 if pid == 0:
-                    evaluate(global_step, cfg, net_g, state, eval_ds, basis, writer_eval)
+                    mel_l1 = evaluate(global_step, cfg, net_g, state, eval_ds,
+                                      basis, writer_eval)
+                    if mel_l1 is not None:
+                        logger.info("eval step %d | mel_l1 %.4f",
+                                    global_step, mel_l1)
                 # All processes call save (orbax coordinates the multi-host
                 # write); the state stays a sharded jax tree — orbax snapshots
                 # it to host before returning, so the next step's donation of
@@ -269,7 +273,7 @@ def _pad_frames(x: np.ndarray, target: int) -> np.ndarray:
 
 def evaluate(global_step: int, cfg: QuickVCConfig, net_g: SynthesizerTrn,
              state, eval_ds: UnitAudioSpecDataset, basis, writer: Summarizer,
-             max_items: int = 7) -> None:
+             max_items: int = 7) -> float | None:
     """Reconstruction eval on a few items (reference train.py:196-222).
 
     Static-shape serving: items are reflect-padded up to 1-s frame buckets
@@ -314,6 +318,8 @@ def evaluate(global_step: int, cfg: QuickVCConfig, net_g: SynthesizerTrn,
         nmin = min(y_hat_mel_np.shape[1], mel_np.shape[1])
         mel_l1s.append(float(np.mean(np.abs(
             y_hat_mel_np[:, :nmin] - mel_np[:, :nmin]))))
-    if mel_l1s:
-        writer.scalars(global_step, {"eval/mel_l1": float(np.mean(mel_l1s))})
+    mean_l1 = float(np.mean(mel_l1s)) if mel_l1s else None
+    if mean_l1 is not None:
+        writer.scalars(global_step, {"eval/mel_l1": mean_l1})
     writer.flush()
+    return mean_l1
