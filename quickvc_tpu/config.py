@@ -48,6 +48,10 @@ class TrainConfig:
     num_hosts: int = 1
     data_axis: str = "data"
     disc_width: float = 1.0         # discriminator channel scale (tests use < 1)
+    loader_workers: int = 8         # host DataLoader parallelism
+    loader_mode: str = "thread"     # "thread" | "process" (shared-memory
+                                    # workers; GIL-free feed for multi-chip
+                                    # hosts — see data/dataset.py DataLoader)
     guard_nonfinite: bool = True    # skip an optimizer update when its grads
                                     # contain inf/nan (the reference's
                                     # GradScaler step-skip, train.py:133-137,

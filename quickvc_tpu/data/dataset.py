@@ -70,8 +70,6 @@ def _compute_spec(wav: np.ndarray, cfg: QuickVCConfig) -> np.ndarray:
     here would dispatch per-item work to the accelerator and contend with
     the training step.
     """
-    from quickvc_tpu.dsp.stft import hann_window
-
     n_fft, hop, win = cfg.data.filter_length, cfg.data.hop_length, cfg.data.win_length
     pad = (n_fft - hop) // 2
     y = np.pad(wav.astype(np.float32), (pad, pad), mode="reflect")
@@ -79,7 +77,10 @@ def _compute_spec(wav: np.ndarray, cfg: QuickVCConfig) -> np.ndarray:
     idx = np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
     w = np.zeros(n_fft, np.float32)
     off = (n_fft - win) // 2
-    w[off : off + win] = hann_window(win)
+    # periodic Hann inline (== dsp.stft.hann_window, parity-tested) so
+    # process-mode loader workers never import jax
+    w[off : off + win] = (0.5 * (1.0 - np.cos(
+        2.0 * np.pi * np.arange(win) / win))).astype(np.float32)
     z = np.fft.rfft(y[idx] * w, axis=-1)
     return np.sqrt((z.real**2 + z.imag**2 + 1e-6)).astype(np.float32)
 
@@ -194,12 +195,27 @@ class BucketSampler:
                    for n in self.num_samples_per_bucket)
 
 
+def collate_shapes(batch: int, bucket_lo: int,
+                   cfg: QuickVCConfig) -> dict[str, tuple[int, ...]]:
+    """Assembly-buffer shapes for a bucket's batches (pre-crop; the yielded
+    arrays drop the trailing frame)."""
+    seg = min(bucket_lo + 1, cfg.train.max_speclen + 1)
+    return {
+        "unit": (batch, seg, cfg.model.unit_channels),
+        "spec": (batch, seg, cfg.spec_channels),
+        "wave": (batch, seg * cfg.data.hop_length, 1),
+    }
+
+
 def collate_batch(items: list[dict[str, np.ndarray]], bucket_lo: int,
-                  cfg: QuickVCConfig, rng: np.random.Generator) -> dict[str, np.ndarray]:
+                  cfg: QuickVCConfig, rng: np.random.Generator,
+                  out: dict[str, np.ndarray] | None = None) -> dict[str, np.ndarray]:
     """Pad + random common-length crop to the bucket's static shape.
 
     Returns unit (B, L, 256), spec (B, L, Freq), wave (B, L*hop, 1) with
-    L = min(bucket_lo, max_speclen) fixed per bucket.
+    L = min(bucket_lo, max_speclen) fixed per bucket. ``out`` (shapes from
+    :func:`collate_shapes`) lets process workers assemble straight into
+    shared memory — no extra copy on either side.
     """
     hop = cfg.data.hop_length
     order = np.argsort([-it["unit"].shape[0] for it in items])
@@ -212,9 +228,13 @@ def collate_batch(items: list[dict[str, np.ndarray]], bucket_lo: int,
     # empty + explicit pad-tail zeroing: most rows are fully overwritten
     # (bucketed lengths >= the crop), so np.zeros would double the memory
     # traffic of the assembly (~128 MB/batch at batch 64)
-    out_unit = np.empty((b, seg, unit_dim), np.float32)
-    out_spec = np.empty((b, seg, freq), np.float32)
-    out_wave = np.empty((b, seg * hop, 1), np.float32)
+    if out is None:
+        out = {
+            "unit": np.empty((b, seg, unit_dim), np.float32),
+            "spec": np.empty((b, seg, freq), np.float32),
+            "wave": np.empty((b, seg * hop, 1), np.float32),
+        }
+    out_unit, out_spec, out_wave = out["unit"], out["spec"], out["wave"]
 
     for i, it in enumerate(items):
         n_frames = min(it["unit"].shape[0], it["spec"].shape[0],
@@ -252,18 +272,41 @@ class DataLoader:
     for the same reason (train.py:52).
 
     Crops are deterministic given (seed, epoch, batch index) — independent
-    of thread timing.
+    of worker timing — and IDENTICAL across both worker modes:
+
+    - ``mode="thread"`` (default): a thread pool in-process. numpy I/O and
+      memcpys release the GIL, so this scales to a handful of cores; the
+      Python-level per-item bookkeeping that holds the GIL becomes the cap
+      somewhere beyond that (BENCH.md "Input pipeline").
+    - ``mode="process"``: persistent spawn-started worker processes
+      assembling batches straight into POSIX shared memory; the parent maps
+      the segment and yields zero-copy numpy views (no pickle of array
+      data, no parent-side memcpy — the parent's only per-batch work is an
+      mmap). This is the GIL-free path for hosts feeding many chips.
+      Spawned workers import only numpy/scipy (never jax), so they cannot
+      deadlock on runtime locks inherited mid-fork from the live TPU client.
+
+    Shared-memory lifetime: a yielded batch's arrays remain valid until
+    ``num_workers + 2·prefetch + 2`` further batches have been drawn (the
+    training loop transfers each batch to device before drawing the next —
+    see loop.py device_batches). Copy if you need to hold arrays longer.
     """
 
     def __init__(self, dataset: UnitAudioSpecDataset, sampler: BucketSampler,
                  cfg: QuickVCConfig, num_workers: int = 8, seed: int = 1234,
-                 prefetch: int = 2):
+                 prefetch: int = 2, mode: str = "thread"):
+        if mode not in ("thread", "process"):
+            raise ValueError(f"mode must be 'thread' or 'process', got {mode!r}")
         self.dataset = dataset
         self.sampler = sampler
         self.cfg = cfg
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.mode = mode
+        self._procs: list = []
+        self._task_q = None
+        self._result_q = None
 
     def __len__(self) -> int:
         return len(self.sampler)
@@ -277,6 +320,9 @@ class DataLoader:
                              self.cfg, rng)
 
     def __iter__(self):
+        if self.mode == "process":
+            yield from self._iter_process()
+            return
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -291,3 +337,151 @@ class DataLoader:
                     pending.append(pool.submit(self._assemble, nxt, k, idxs))
                     nxt += 1
                 yield pending.popleft().result()
+
+    # ---- process mode ----------------------------------------------------
+
+    def _ensure_procs(self) -> None:
+        if self._procs:
+            return
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        self._task_q = ctx.Queue()
+        self._result_q = ctx.Queue()
+        for _ in range(self.num_workers):
+            p = ctx.Process(target=_process_worker_main,
+                            args=(self._task_q, self._result_q,
+                                  self.dataset, self.cfg, self.seed),
+                            daemon=True)
+            p.start()
+            self._procs.append(p)
+
+    def close(self) -> None:
+        """Stop process workers (no-op in thread mode / if never started)."""
+        for _ in self._procs:
+            self._task_q.put(None)
+        for p in self._procs:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+        self._procs = []
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _iter_process(self):
+        from collections import deque
+        from multiprocessing import shared_memory
+
+        self._ensure_procs()
+        batches = list(self.sampler)
+        epoch = self.sampler.epoch
+        in_flight = self.num_workers + self.prefetch
+        # yielded-batch shm handles stay mapped for a window so the consumer
+        # can read (or device-transfer) the views it was handed
+        window: deque = deque()
+        keep = self.num_workers + 2 * self.prefetch + 2
+        pending: dict[int, tuple] = {}
+        nxt_submit = nxt_yield = 0
+        try:
+            while nxt_yield < len(batches):
+                while nxt_submit < len(batches) and nxt_submit - nxt_yield < in_flight:
+                    k, idxs = batches[nxt_submit]
+                    self._task_q.put((nxt_submit, epoch, idxs,
+                                      self.sampler.bucket_lo[k]))
+                    nxt_submit += 1
+                while nxt_yield not in pending:
+                    from queue import Empty
+                    try:
+                        status, bidx, payload = self._result_q.get(timeout=60)
+                    except Empty:
+                        if not any(p.is_alive() for p in self._procs):
+                            raise RuntimeError(
+                                "all loader worker processes died "
+                                "(killed/OOM?) with batches outstanding")
+                        continue
+                    if status == "err":
+                        raise RuntimeError(
+                            f"loader worker failed on batch {bidx}:\n{payload}")
+                    pending[bidx] = payload
+                shm_name, metas = pending.pop(nxt_yield)
+                shm = shared_memory.SharedMemory(name=shm_name)
+                out, off = {}, 0
+                for key, shape in metas:
+                    n = int(np.prod(shape)) * 4
+                    out[key] = np.ndarray(shape, np.float32,
+                                          buffer=shm.buf, offset=off)
+                    off += n
+                window.append(shm)
+                while len(window) > keep:
+                    old = window.popleft()
+                    old.close()
+                    old.unlink()
+                yield _crop_trailing(out, self.cfg)
+                nxt_yield += 1
+        finally:
+            while window:
+                old = window.popleft()
+                old.close()
+                try:
+                    old.unlink()
+                except FileNotFoundError:
+                    pass
+
+
+def _crop_trailing(full: dict[str, np.ndarray],
+                   cfg: QuickVCConfig) -> dict[str, np.ndarray]:
+    """Drop the trailing frame (reference data_utils_new_new.py:210-213) —
+    shared by collate_batch and the process-mode parent so both yield the
+    same shapes."""
+    return {
+        "unit": full["unit"][:, :-1],
+        "spec": full["spec"][:, :-1],
+        "wave": full["wave"][:, : -cfg.data.hop_length],
+    }
+
+
+def _process_worker_main(task_q, result_q, dataset, cfg, seed) -> None:
+    """Process-mode worker: assemble whole batches into fresh shm segments.
+
+    Runs in a spawn-started process (numpy/scipy only — no jax import).
+    Deterministic crops: rng seeded by (seed, epoch, batch_index), the same
+    contract as the thread path, so both modes yield bit-identical batches.
+    """
+    import traceback
+    from multiprocessing import shared_memory
+
+    while True:
+        task = task_q.get()
+        if task is None:
+            return
+        batch_index, epoch, idxs, bucket_lo = task
+        try:
+            items = [dataset[i] for i in idxs]
+            shapes = collate_shapes(len(idxs), bucket_lo, cfg)
+            metas = [(k, shapes[k]) for k in ("unit", "spec", "wave")]
+            total = sum(int(np.prod(s)) * 4 for _, s in metas)
+            shm = shared_memory.SharedMemory(create=True, size=total)
+            out, off = {}, 0
+            for key, shape in metas:
+                out[key] = np.ndarray(shape, np.float32,
+                                      buffer=shm.buf, offset=off)
+                off += int(np.prod(shape)) * 4
+            rng = np.random.default_rng((seed, epoch, batch_index))
+            collate_batch(items, bucket_lo, cfg, rng, out=out)
+            name = shm.name
+            del out
+            shm.close()
+            # ownership transfers to the parent (which unlinks); stop this
+            # process's resource tracker from double-unlinking at exit
+            try:
+                from multiprocessing import resource_tracker
+                resource_tracker.unregister(f"/{name}", "shared_memory")
+            except Exception:
+                pass
+            result_q.put(("ok", batch_index, (name, metas)))
+        except Exception:
+            result_q.put(("err", batch_index, traceback.format_exc()))

@@ -61,7 +61,9 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
     eval_ds = UnitAudioSpecDataset("eval", cfg)
     sampler = BucketSampler(train_ds.lengths, cfg.train.batch_size, BUCKET_BOUNDARIES,
                             shuffle=True, num_replicas=n_proc, rank=pid)
-    loader = DataLoader(train_ds, sampler, cfg, seed=cfg.train.seed)
+    loader = DataLoader(train_ds, sampler, cfg, seed=cfg.train.seed,
+                        num_workers=cfg.train.loader_workers,
+                        mode=cfg.train.loader_mode)
 
     # Mesh + state
     mesh = data_parallel_mesh()

@@ -65,7 +65,10 @@ def main():
     parser.add_argument("--root", default="/tmp/qvc_data_bench")
     parser.add_argument("--worker-sweep", action="store_true",
                         help="after cache warmup, measure warm epochs at "
-                             "1/2/4/8 workers (thread-scaling curve)")
+                             "1/2/4/8 workers in BOTH modes (scaling curve)")
+    parser.add_argument("--mode", default="thread",
+                        choices=["thread", "process"],
+                        help="worker mode for the cold/warm epochs")
     args = parser.parse_args()
 
     from quickvc_tpu.config import QuickVCConfig
@@ -85,7 +88,8 @@ def main():
     cfg.train.batch_size = args.batch_size
     ds = UnitAudioSpecDataset("train", cfg)
     sampler = BucketSampler(ds.lengths, args.batch_size, BUCKET_BOUNDARIES)
-    loader = DataLoader(ds, sampler, cfg, num_workers=args.num_workers)
+    loader = DataLoader(ds, sampler, cfg, num_workers=args.num_workers,
+                        mode=args.mode)
 
     def one_epoch(name, ldr):
         sampler.set_epoch(0 if name == "cold" else 1)
@@ -99,7 +103,8 @@ def main():
         dt = time.perf_counter() - t0
         rec = {
             "epoch": name,
-            "workers": ldr.num_workers if hasattr(ldr, "num_workers") else args.num_workers,
+            "mode": ldr.mode,
+            "workers": ldr.num_workers,
             "items_per_s": round(n_items / dt, 1),
             "batches_per_s": round(n_batches / dt, 2),
             "audio_seconds_per_s": round(audio_s / dt, 1),
@@ -113,10 +118,15 @@ def main():
     one_epoch("warm", loader)
     one_epoch("warm2", loader)
     if args.worker_sweep:
-        for w in (1, 2, 4, 8):
-            ldr = DataLoader(ds, sampler, cfg, num_workers=w)
-            ldr.num_workers = w
-            one_epoch(f"warm_w{w}", ldr)
+        for mode in ("thread", "process"):
+            for w in (1, 2, 4, 8):
+                ldr = DataLoader(ds, sampler, cfg, num_workers=w, mode=mode)
+                # steady-state epoch per config; first epoch warms the
+                # pool (spawned processes) -> measure the second
+                one_epoch(f"pool_warmup_{mode}_w{w}", ldr)
+                one_epoch(f"warm_{mode}_w{w}", ldr)
+                ldr.close()
+    loader.close()
     shutil.rmtree(args.root, ignore_errors=True)
 
 

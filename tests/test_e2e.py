@@ -213,3 +213,45 @@ def test_loader_worker_exception_propagates(synth_dataset):
     ds.audiopaths[0] = "/nonexistent/missing.wav"
     with pytest.raises(Exception):
         list(loader)
+
+
+def test_process_loader_matches_thread_loader(synth_dataset):
+    """mode='process' (spawned shared-memory workers) yields batches
+    bit-identical to the thread path — same (seed, epoch, batch index)
+    crop contract, zero-copy shm views on the parent side."""
+    cfg = e2e_config(synth_dataset)
+    ds = UnitAudioSpecDataset("train", cfg)
+    sampler = BucketSampler(ds.lengths, cfg.train.batch_size,
+                            [32, 40, 50, 60, 70, 80, 90, 100], shuffle=True)
+    thread_loader = DataLoader(ds, sampler, cfg, num_workers=2, seed=7)
+    proc_loader = DataLoader(ds, sampler, cfg, num_workers=2, seed=7,
+                             mode="process")
+    try:
+        for epoch in (0, 1):
+            sampler.set_epoch(epoch)
+            a = list(thread_loader)
+            # copy: shm views are recycled after a window of batches
+            b = [{k: v.copy() for k, v in batch.items()}
+                 for batch in proc_loader]
+            assert len(a) == len(b) == len(sampler)
+            for x, y in zip(a, b):
+                for k in ("unit", "spec", "wave"):
+                    np.testing.assert_array_equal(x[k], y[k])
+    finally:
+        proc_loader.close()
+
+
+def test_process_loader_exception_propagates(synth_dataset):
+    """A failing item load in a worker PROCESS surfaces too (the traceback
+    travels over the result queue)."""
+    cfg = e2e_config(synth_dataset)
+    ds = UnitAudioSpecDataset("train", cfg)
+    sampler = BucketSampler(ds.lengths, cfg.train.batch_size,
+                            [32, 40, 50, 60, 70, 80, 90, 100], shuffle=False)
+    ds.audiopaths[0] = "/nonexistent/missing.wav"
+    loader = DataLoader(ds, sampler, cfg, num_workers=2, mode="process")
+    try:
+        with pytest.raises(RuntimeError, match="loader worker failed"):
+            list(loader)
+    finally:
+        loader.close()
