@@ -69,6 +69,9 @@ def time_case(chained, u, g):
 
 
 def main():
+    from quickvc_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     # Serving batch: 32 x 10 s utterances. The decoder is latency-bound at
     # small batches (b=8: 3.3k x rt; b=32: 11k x rt — scripts/infer_breakdown.py);
     # production serving batches, so the headline number does too.

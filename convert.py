@@ -31,6 +31,7 @@ from quickvc_tpu.dsp.stft import wave_to_mel
 from quickvc_tpu.models.encoders import embed_utterance_batch
 from quickvc_tpu.models.hubert import HubertSoft
 from quickvc_tpu.models.synthesizer import SynthesizerTrn
+from quickvc_tpu.utils.compile_cache import enable_persistent_cache
 
 
 def load_generator_params(path: str, cfg):
@@ -95,6 +96,7 @@ def load_hubert_params(path: str):
 
 
 def main():
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--hpfile", type=str, default="logs/quickvc/config.json")
     parser.add_argument("--ptfile", type=str, default="logs/quickvc/quickvc.pth")

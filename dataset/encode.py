@@ -31,7 +31,9 @@ from quickvc_tpu.models.hubert import HubertSoft
 
 def encode_dataset(args):
     from convert import load_hubert_params
+    from quickvc_tpu.utils.compile_cache import enable_persistent_cache
 
+    enable_persistent_cache()
     hubert = HubertSoft()
     params = load_hubert_params(args.hubert)
     units_fn = jax.jit(lambda p, w: hubert.apply(p, w, method=HubertSoft.units))

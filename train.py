@@ -42,6 +42,9 @@ def main():
         import jax
         jax.distributed.initialize()
 
+    from quickvc_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     cfg = get_config(args.config, args.model, args.modelroot)
 
     from quickvc_tpu.train.loop import run
