@@ -51,8 +51,14 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mo
 def ref_mel(ref_models):  # noqa: F811
     """Reference mel_processing, with librosa shimmed to our mel basis."""
     if "librosa" not in sys.modules:
+        import importlib.machinery
+
         lib = types.ModuleType("librosa")
         filt = types.ModuleType("librosa.filters")
+        # a real ModuleSpec: importlib.util.find_spec("librosa") (e.g.
+        # transformers' availability probing) raises on __spec__=None
+        lib.__spec__ = importlib.machinery.ModuleSpec("librosa", None)
+        filt.__spec__ = importlib.machinery.ModuleSpec("librosa.filters", None)
 
         def mel(*, sr, n_fft, n_mels, fmin=0.0, fmax=None, **kw):
             return mel_filterbank(sr, n_fft, n_mels, fmin, fmax)

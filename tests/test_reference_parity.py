@@ -35,8 +35,14 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mo
 def ref_models():
     """Import reference models.py with compatibility shims installed."""
     # torchaudio shim: InverseSpectrogram(n_fft, win_length, hop_length)
+    import importlib.machinery
+
     ta = types.ModuleType("torchaudio")
     ta_tf = types.ModuleType("torchaudio.transforms")
+    # real ModuleSpecs: importlib.util.find_spec (e.g. transformers'
+    # availability probing) raises ValueError on stubs with __spec__=None
+    ta.__spec__ = importlib.machinery.ModuleSpec("torchaudio", None)
+    ta_tf.__spec__ = importlib.machinery.ModuleSpec("torchaudio.transforms", None)
 
     class InverseSpectrogram(torch.nn.Module):
         def __init__(self, n_fft, win_length=None, hop_length=None):
