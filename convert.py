@@ -117,6 +117,13 @@ def main():
                              "strategy as dataset/encode.py); 0 = exact "
                              "lengths, one compile per distinct length "
                              "(reference behavior)")
+    parser.add_argument("--batch", type=int, default=8,
+                        help="pairs per batched forward within a length "
+                             "bucket (dataset/encode.py strategy; the chip "
+                             "is batch-starved below ~32 — BENCH.md). The "
+                             "batch dim is padded to this size so each "
+                             "bucket costs exactly one compile. 1 = "
+                             "reference-style one pair per forward")
     args = parser.parse_args()
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -155,45 +162,81 @@ def main():
     bucket = int(args.bucket_seconds * sr)
     hop = cfg.data.hop_length
 
-    key = jax.random.PRNGKey(cfg.train.seed)
+    # ---- Host preprocessing for every pair (read/resample/trim/pad) ----
+    # Shape bucketing (dataset/encode.py strategy): reflect-pad both
+    # utterances up to the bucket grain so every jitted stage compiles
+    # once per bucket instead of once per distinct length; the output is
+    # cropped back to the source's true frame count. The reference
+    # recompiles nothing (eager torch) but pays per-item dispatch; XLA
+    # pays per-SHAPE, so static shapes are the TPU-native equivalent.
+    t_start = time.time()
+    items = []
     for title, src, tgt in pairs:
-        t0 = time.time()
         wav_tgt, tsr = read_wav(tgt)
         wav_tgt = resample(wav_tgt, tsr, sr)
         wav_tgt, _ = trim_silence(wav_tgt, top_db=20)
         wav_src, ssr = read_wav(src)
         wav_src = resample(wav_src, ssr, sr)
-
-        # Shape bucketing (dataset/encode.py strategy): reflect-pad both
-        # utterances up to the bucket grain so every jitted stage compiles
-        # once per bucket instead of once per distinct length; the output is
-        # cropped back to the source's true frame count. The reference
-        # recompiles nothing (eager torch) but pays per-item dispatch; XLA
-        # pays per-SHAPE, so static shapes are the TPU-native equivalent.
         n_frames = len(wav_src) // hop
         if bucket:
             wav_src = pad_to_bucket(wav_src, bucket)
             wav_tgt = pad_to_bucket(wav_tgt, bucket)
+        items.append({"title": title, "tgt": tgt, "src_wav": wav_src,
+                      "tgt_wav": wav_tgt, "n_frames": n_frames})
 
-        # Pallas fused featurization on TPU (4x the XLA path, scripts/mel_bench.py)
-        from quickvc_tpu.ops.fused_mel import wave_to_mel_fast
-        mel_tgt = wave_to_mel_fast(jnp.asarray(wav_tgt[None]), sr,
-                                   cfg.data.filter_length, cfg.data.hop_length,
-                                   cfg.data.win_length, cfg.data.n_mel_channels,
-                                   cfg.data.mel_fmin, cfg.data.mel_fmax)
-        g_vec = embed_utterance_batch(embed_fn, g_params, mel_tgt)
-        unit = units_fn(h_params, jnp.asarray(wav_src[None]))
-        key, sub = jax.random.split(key)
-        audio = infer_fn(g_params, unit, g_vec, sub)
-        audio = np.asarray(audio[0, :, 0], dtype=np.float32)
-        if bucket:
-            audio = audio[: n_frames * hop]
+    # ---- Speaker d-vector once per UNIQUE target utterance ----
+    # (convert.txt reuses a handful of targets across many pairs; the
+    # reference recomputes the embedding per pair, convert.py:63-67.)
+    from quickvc_tpu.ops.fused_mel import wave_to_mel_fast  # Pallas fused featurization
 
-        name = f"{time.strftime('%m-%d_%H-%M')}_{title}.wav" if args.use_timestamp else f"{title}.wav"
-        write_wav(os.path.join(args.outdir, name), audio, sr)
-        print(f"{title}: {len(audio) / sr:.2f}s audio in {time.time() - t0:.2f}s")
-    print(f"XLA compiles: infer={infer_fn._cache_size()} "
-          f"units={units_fn._cache_size()} embed={embed_fn._cache_size()}")
+    g_cache: dict[str, jnp.ndarray] = {}
+    for it in items:
+        if it["tgt"] not in g_cache:
+            mel_tgt = wave_to_mel_fast(jnp.asarray(it["tgt_wav"][None]), sr,
+                                       cfg.data.filter_length, cfg.data.hop_length,
+                                       cfg.data.win_length, cfg.data.n_mel_channels,
+                                       cfg.data.mel_fmin, cfg.data.mel_fmax)
+            g_cache[it["tgt"]] = embed_utterance_batch(embed_fn, g_params, mel_tgt)
+
+    # ---- Batched conversion: same-length pairs share one forward ----
+    # Same-bucket sources are grouped and run as ONE (batch, T) HuBERT +
+    # infer program — the chip is batch-starved at 1 (throughput rises
+    # ~3.5x from b1 to b8, BENCH.md "Synthesis"). The batch dim is padded
+    # to --batch (repeating the last row) so a ragged final group doesn't
+    # trigger its own compile; pad rows are dropped before writing.
+    groups: dict[int, list[dict]] = {}
+    for it in items:
+        groups.setdefault(len(it["src_wav"]), []).append(it)
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    nb = max(1, args.batch)
+    for length in sorted(groups):
+        group = groups[length]
+        for lo in range(0, len(group), nb):
+            chunk = group[lo : lo + nb]
+            t0 = time.time()
+            src_batch = np.stack([it["src_wav"] for it in chunk]
+                                 + [chunk[-1]["src_wav"]] * (nb - len(chunk)))
+            g_batch = jnp.concatenate(
+                [g_cache[it["tgt"]] for it in chunk]
+                + [g_cache[chunk[-1]["tgt"]]] * (nb - len(chunk)), axis=0)
+            unit = units_fn(h_params, jnp.asarray(src_batch))
+            key, sub = jax.random.split(key)
+            audio = np.asarray(infer_fn(g_params, unit, g_batch, sub),
+                               dtype=np.float32)
+            dt = time.time() - t0
+            for i, it in enumerate(chunk):
+                out = audio[i, :, 0]
+                if bucket:
+                    out = out[: it["n_frames"] * hop]
+                name = (f"{time.strftime('%m-%d_%H-%M')}_{it['title']}.wav"
+                        if args.use_timestamp else f"{it['title']}.wav")
+                write_wav(os.path.join(args.outdir, name), out, sr)
+                print(f"{it['title']}: {len(out) / sr:.2f}s audio "
+                      f"({len(chunk)}-pair batch in {dt:.2f}s)")
+    print(f"{len(items)} pairs in {time.time() - t_start:.2f}s; XLA compiles: "
+          f"infer={infer_fn._cache_size()} units={units_fn._cache_size()} "
+          f"embed={embed_fn._cache_size()}")
 
 
 if __name__ == "__main__":

@@ -52,6 +52,10 @@ class TrainConfig:
     loader_mode: str = "thread"     # "thread" | "process" (shared-memory
                                     # workers; GIL-free feed for multi-chip
                                     # hosts — see data/dataset.py DataLoader)
+    grad_reduce_dtype: str = "f32"  # "f32" (GSPMD auto-psum) | "bf16"
+                                    # (explicit shard_map pmean in bf16 —
+                                    # halves the per-step 348 MB DP gradient
+                                    # traffic; parallel/shard_step.py)
     guard_nonfinite: bool = True    # skip an optimizer update when its grads
                                     # contain inf/nan (the reference's
                                     # GradScaler step-skip, train.py:133-137,

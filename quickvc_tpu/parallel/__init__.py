@@ -14,3 +14,6 @@ from quickvc_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from quickvc_tpu.parallel.shard_step import (  # noqa: F401
+    make_sharded_train_step,
+)

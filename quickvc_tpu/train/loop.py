@@ -101,9 +101,19 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
 
     basis = jnp.asarray(mel_filterbank(cfg.data.sampling_rate, cfg.data.filter_length,
                                        cfg.data.n_mel_channels))
-    step_fn = jax.jit(make_train_step(cfg, net_g, net_d, basis),
-                      in_shardings=(rep, bsh, rep), out_shardings=(rep, rep),
-                      donate_argnums=(0,))
+    if cfg.train.grad_reduce_dtype != "f32":
+        # Explicit-collective DP: shard_map step with the gradient
+        # all-reduce in bf16 (halves the 348 MB/step ICI traffic; see
+        # parallel/shard_step.py for the exact semantics).
+        from quickvc_tpu.parallel.shard_step import make_sharded_train_step
+        step_fn = make_sharded_train_step(
+            cfg, net_g, net_d, basis, mesh,
+            reduce_dtype={"bf16": jnp.bfloat16, "f16": jnp.float16}[
+                cfg.train.grad_reduce_dtype])
+    else:
+        step_fn = jax.jit(make_train_step(cfg, net_g, net_d, basis),
+                          in_shardings=(rep, bsh, rep),
+                          out_shardings=(rep, rep), donate_argnums=(0,))
 
     if n_proc > 1:
         # Establish the global collective context while ranks are still in

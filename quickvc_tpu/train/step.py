@@ -73,13 +73,23 @@ def _select_state(ok: jax.Array, new, old):
 
 
 def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
-                    debug_grads: bool = False):
+                    debug_grads: bool = False,
+                    grad_reduce=None, scalar_reduce=None):
     """Build the jitted (state, batch, rng) -> (state, metrics) step.
 
     ``debug_grads``: also return the raw D/G gradient pytrees in the metrics
     (``debug/d_grads``, ``debug/g_grads``) — test-only, used by the
     gradient-differential parity test against the reference's autograd
     (reference train.py:123-156 backward semantics).
+
+    ``grad_reduce``/``scalar_reduce``: cross-device reduction hooks for the
+    explicit-collective (shard_map) data-parallel wrapper
+    (``parallel.make_sharded_train_step``). ``grad_reduce`` turns shard-local
+    gradients into the global batch-mean gradient (a ``psum``/``pmean``,
+    optionally in bf16 to halve ICI traffic); ``scalar_reduce`` does the same
+    for loss scalars so the non-finite guard and the logged metrics are
+    identical on every shard. Default None = GSPMD mode: the step is
+    sharding-agnostic and XLA inserts the f32 gradient psum automatically.
     """
 
     opt = make_optimizer(cfg)
@@ -131,6 +141,13 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
 
         (loss_disc, (losses_d_r, losses_d_g)), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.d_params)
+        if grad_reduce is not None:
+            d_grads = grad_reduce(d_grads)
+        if scalar_reduce is not None:
+            # Reduce BEFORE the guard: the skip decision must be identical on
+            # every shard or the replicated states would diverge.
+            loss_disc, losses_d_r, losses_d_g = scalar_reduce(
+                (loss_disc, losses_d_r, losses_d_g))
         d_updates, d_opt = opt.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
         if guard:
@@ -183,6 +200,10 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
         (loss_g_total, g_aux), out_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)((y_hat, y_hat_mb, latents))
         (g_grads,) = g_vjp(out_grads)
+        if grad_reduce is not None:
+            g_grads = grad_reduce(g_grads)
+        if scalar_reduce is not None:
+            loss_g_total, g_aux = scalar_reduce((loss_g_total, g_aux))
         g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
         if guard:

@@ -276,3 +276,112 @@ class TestTensorParallel:
         assert "TP_OK" in proc.stdout, (
             f"TP subprocess failed (rc={proc.returncode}):\n"
             f"stdout: {proc.stdout[-2000:]}\nstderr: {proc.stderr[-2000:]}")
+
+
+class TestShardMapStep:
+    """Explicit-collective DP step (parallel/shard_step.py).
+
+    With every shard fed the SAME local batch and the SAME rng
+    (per_shard_rng=False), the cross-shard pmean averages 8 identical
+    gradient sets — so the sharded step must reproduce the single-device
+    step on the local batch. That pins the in/out specs, the reduction
+    normalization, and the scalar pmean wiring all at once.
+    """
+
+    def _setup(self, rng):
+        cfg = tiny_config()
+        state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(0))
+        basis = jnp.asarray(mel_filterbank(
+            cfg.data.sampling_rate, cfg.data.filter_length,
+            cfg.data.n_mel_channels))
+        host_state = jax.device_get(state)
+        local = make_batch(cfg, rng, batch=2)
+        tiled = {k: jnp.concatenate([v] * 8, axis=0) for k, v in local.items()}
+        return cfg, net_g, net_d, basis, host_state, local, tiled
+
+    def test_identical_shards_match_local_step(self, rng):
+        from quickvc_tpu.parallel import make_sharded_train_step
+
+        assert jax.device_count() >= 8
+        cfg, net_g, net_d, basis, host_state, local, tiled = self._setup(rng)
+        mesh = data_parallel_mesh(8)
+        key = jax.random.PRNGKey(3)
+
+        ref_step = jax.jit(make_train_step(cfg, net_g, net_d, basis))
+        ref_state, ref_m = ref_step(jax.device_put(host_state), local, key)
+
+        sh_step = make_sharded_train_step(cfg, net_g, net_d, basis, mesh,
+                                          per_shard_rng=False)
+        sh_state, sh_m = sh_step(
+            jax.device_put(host_state, replicated(mesh)),
+            jax.device_put(tiled, batch_sharding(mesh)), key)
+
+        # Gate at lr/10: the two programs are compiled differently (fusion
+        # order), so grad elements near AdamW's eps floor can move an
+        # update by ~1e-6 — but a WRONG reduction (e.g. psum instead of
+        # pmean) would shift every update by ~lr itself (1e-4).
+        tol = cfg.train.learning_rate / 10
+        for a, b in zip(jax.tree.leaves(ref_state.g_params),
+                        jax.tree.leaves(sh_state.g_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=tol)
+        for a, b in zip(jax.tree.leaves(ref_state.d_params),
+                        jax.tree.leaves(sh_state.d_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=tol)
+        for k in ("loss/g/total", "loss/d/total", "loss/g/mel", "loss/g/kl"):
+            np.testing.assert_allclose(float(ref_m[k]), float(sh_m[k]),
+                                       rtol=1e-5)
+
+    def test_bf16_reduce_close_to_f32(self, rng):
+        """bf16 all-reduce rounds only the cross-shard mean: params must
+        stay within one bf16 ulp of lr of the f32-reduced result."""
+        from quickvc_tpu.parallel import make_sharded_train_step
+
+        cfg, net_g, net_d, basis, host_state, local, tiled = self._setup(rng)
+        mesh = data_parallel_mesh(8)
+        key = jax.random.PRNGKey(3)
+
+        outs = {}
+        for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+            step = make_sharded_train_step(cfg, net_g, net_d, basis, mesh,
+                                           reduce_dtype=dt,
+                                           per_shard_rng=False)
+            st, m = step(jax.device_put(host_state, replicated(mesh)),
+                         jax.device_put(tiled, batch_sharding(mesh)), key)
+            outs[name] = (jax.device_get(st), m)
+            assert np.isfinite(float(m["loss/g/total"]))
+            # grads stay f32 in the state; only the reduction was cast
+            for leaf in jax.tree.leaves(st.g_params):
+                assert leaf.dtype == jnp.float32
+
+        # AdamW's normalized update is O(lr); a 2^-8 relative rounding of
+        # the gradient moves it by well under lr/16.
+        lr = cfg.train.learning_rate
+        for a, b in zip(jax.tree.leaves(outs["f32"][0].g_params),
+                        jax.tree.leaves(outs["bf16"][0].g_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=lr / 4)
+
+    def test_per_shard_rng_trains(self, rng):
+        """Production mode: distinct per-shard data + folded rng streams;
+        two chained steps stay finite and replicated."""
+        from quickvc_tpu.parallel import make_sharded_train_step
+
+        cfg, net_g, net_d, basis, host_state, _, _ = self._setup(rng)
+        mesh = data_parallel_mesh(8)
+        batch = jax.device_put(make_batch(cfg, rng, batch=16),
+                               batch_sharding(mesh))
+        step = make_sharded_train_step(cfg, net_g, net_d, basis, mesh,
+                                       reduce_dtype=jnp.bfloat16)
+        state = jax.device_put(host_state, replicated(mesh))
+        for i in range(2):
+            state, m = step(state, batch, jax.random.PRNGKey(10 + i))
+            assert np.isfinite(float(m["loss/g/total"]))
+            assert np.isfinite(float(m["loss/d/total"]))
+        assert int(state.step) == 2
+        # the replicated output really is consistent across devices
+        p0 = jax.tree.leaves(state.g_params)[0]
+        shards = [np.asarray(s.data) for s in p0.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
