@@ -61,6 +61,31 @@ class TrainConfig:
                                     # GradScaler step-skip, train.py:133-137,
                                     # 155-162, generalized to bf16 — no loss
                                     # scaling, just the skip)
+    ckpt_max_to_keep: int = 5       # orbax retention; the reference keeps
+                                    # every G_*/D_*.pth it ever writes
+                                    # (utils.py:181-193), which at 1000-step
+                                    # cadence over 1.2M steps is a policy
+                                    # choice — make it configurable
+    export_torch_every: int = 0     # if >0, also write reference-layout
+                                    # G_<step>.pth/D_<step>.pth every N steps
+                                    # (reference train.py:181-186 behavior)
+                                    # via utils/torch_export.py
+
+    def __post_init__(self):
+        allowed = ("f32", "bf16")
+        if self.grad_reduce_dtype not in allowed:
+            # f16 would overflow at 65504 during the all-reduce, turning
+            # grads inf so the non-finite guard silently skips every update.
+            raise ValueError(
+                f"grad_reduce_dtype={self.grad_reduce_dtype!r}: must be one "
+                f"of {allowed}")
+        if self.precision not in ("f32", "bf16"):
+            raise ValueError(
+                f"precision={self.precision!r}: must be 'f32' or 'bf16'")
+        if self.loader_mode not in ("thread", "process"):
+            raise ValueError(
+                f"loader_mode={self.loader_mode!r}: must be 'thread' or "
+                f"'process'")
 
 
 @dataclass

@@ -85,6 +85,16 @@ def _compute_spec(wav: np.ndarray, cfg: QuickVCConfig) -> np.ndarray:
     return np.sqrt((z.real**2 + z.imag**2 + 1e-6)).astype(np.float32)
 
 
+def _sibling(path: str, new_suffix: str) -> str:
+    """Replace the final extension of ``path`` with ``new_suffix``.
+
+    Suffix-safe: the reference's ``path.replace(".wav", ...)``
+    (data_utils_new_new.py:113,121) substitutes the FIRST occurrence, so a
+    directory named ``x.wav/`` or a file ``a.wav.b.wav`` mis-resolves.
+    """
+    return os.path.splitext(path)[0] + new_suffix
+
+
 class UnitAudioSpecDataset:
     """Per-utterance (unit, spec, wave) loader with on-disk spec cache."""
 
@@ -96,6 +106,12 @@ class UnitAudioSpecDataset:
         rng = np.random.default_rng(shuffle_seed)
         rng.shuffle(self.audiopaths)
         self.cache_specs = cache_specs
+        # STFT-config fingerprint in the cache filename: the reference caches
+        # ``.spec.pt`` unkeyed (data_utils_new_new.py:113-118), so changing
+        # filter/hop/win silently loads stale spectrograms. Keying the name
+        # makes a config change a cache miss, never a wrong hit.
+        d = cfg.data
+        self.spec_suffix = f".spec-{d.filter_length}-{d.hop_length}-{d.win_length}.npy"
         self.lengths = [os.path.getsize(p) // (2 * cfg.data.hop_length)
                         for p in self.audiopaths]
 
@@ -108,7 +124,7 @@ class UnitAudioSpecDataset:
         assert sr == self.cfg.data.sampling_rate, \
             f"{sr} != configured {self.cfg.data.sampling_rate} for {path}"
 
-        spec_path = path.replace(".wav", ".spec.npy")
+        spec_path = _sibling(path, self.spec_suffix)
         if self.cache_specs and os.path.exists(spec_path):
             spec = np.load(spec_path)
         else:
@@ -122,7 +138,7 @@ class UnitAudioSpecDataset:
                 np.save(tmp[:-4], spec)  # np.save appends .npy
                 os.replace(tmp, spec_path)
 
-        unit = np.load(path.replace(".wav", ".npy")).astype(np.float32,
+        unit = np.load(_sibling(path, ".npy")).astype(np.float32,
                                                              copy=False)  # (Frame, 256)
         return {"unit": unit, "spec": spec, "wave": wav[:, None]}
 

@@ -10,6 +10,7 @@ steps (no per-step device sync).
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -72,7 +73,8 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
     logger.info("Generator params: %.2fM | Discriminator params: %.2fM",
                 param_count(state.g_params) / 1e6, param_count(state.d_params) / 1e6)
 
-    ckpt = CheckpointManager(cfg.model_dir)
+    ckpt = CheckpointManager(cfg.model_dir,
+                             max_to_keep=cfg.train.ckpt_max_to_keep)
     # Restore straight onto the replicated sharding: in multi-process runs
     # orbax reassembles global arrays only when the abstract tree carries
     # shardings (a host-numpy restore can't span non-addressable devices).
@@ -106,10 +108,10 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
         # all-reduce in bf16 (halves the 348 MB/step ICI traffic; see
         # parallel/shard_step.py for the exact semantics).
         from quickvc_tpu.parallel.shard_step import make_sharded_train_step
-        step_fn = make_sharded_train_step(
-            cfg, net_g, net_d, basis, mesh,
-            reduce_dtype={"bf16": jnp.bfloat16, "f16": jnp.float16}[
-                cfg.train.grad_reduce_dtype])
+        # config.__post_init__ guarantees the value is "bf16" here ("f16"
+        # was rejected: its all-reduce overflows at 65504, poisoning grads).
+        step_fn = make_sharded_train_step(cfg, net_g, net_d, basis, mesh,
+                                          reduce_dtype=jnp.bfloat16)
     else:
         step_fn = jax.jit(make_train_step(cfg, net_g, net_d, basis),
                           in_shardings=(rep, bsh, rep),
@@ -235,6 +237,11 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                 # it to host before returning, so the next step's donation of
                 # these buffers is safe.
                 ckpt.save(global_step, state)
+            if (cfg.train.export_torch_every and pid == 0
+                    and global_step % cfg.train.export_torch_every == 0):
+                _export_torch_checkpoints(cfg, state, global_step, epoch, lr)
+                logger.info("exported reference-layout G_%d.pth/D_%d.pth",
+                            global_step, global_step)
             global_step += 1
             if max_steps is not None and global_step >= max_steps:
                 ckpt.save(global_step, state)
@@ -242,6 +249,30 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                 return
         logger.info("====> Epoch %d done", epoch)
     ckpt.wait()
+
+
+def _export_torch_checkpoints(cfg: QuickVCConfig, state, global_step: int,
+                              epoch: int, lr: float) -> None:
+    """Write reference-layout G_<step>.pth / D_<step>.pth into model_dir.
+
+    Reference train.py:181-186 saves torch checkpoints every eval_interval;
+    with ``train.export_torch_every`` set, a TPU run keeps dropping
+    checkpoints the reference ecosystem (its convert.py, forks, tooling) can
+    load directly. ``iteration`` carries the epoch, matching the reference's
+    save_checkpoint(epoch) call.
+    """
+    from quickvc_tpu.utils.torch_export import (
+        export_discriminator,
+        export_generator,
+        save_reference_checkpoint,
+    )
+
+    g_sd = export_generator(jax.device_get(state.g_params), cfg.model)
+    d_sd = export_discriminator(jax.device_get(state.d_params))
+    save_reference_checkpoint(
+        os.path.join(cfg.model_dir, f"G_{global_step}.pth"), g_sd, epoch, lr)
+    save_reference_checkpoint(
+        os.path.join(cfg.model_dir, f"D_{global_step}.pth"), d_sd, epoch, lr)
 
 
 # evaluate()'s jitted programs, cached per (generator, basis) so repeated

@@ -218,7 +218,18 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
         if guard:
             metrics["guard/d_skipped"] = 1.0 - d_ok.astype(jnp.float32)
             metrics["guard/g_skipped"] = 1.0 - g_ok.astype(jnp.float32)
+        if scalar_reduce is not None:
+            # Safety net for the explicit-collective path: every metric must
+            # be cross-shard reduced or logging would show shard-local values.
+            # The loss scalars above were already pmean'd (the guard needs
+            # them reduced BEFORE the skip decision); pmean is idempotent on
+            # replicated values, so re-reducing the assembled dict is free of
+            # semantic risk and catches any future metric added here without
+            # an explicit reduction.
+            metrics = scalar_reduce(metrics)
         if debug_grads:
+            # after scalar_reduce on purpose: grads were already reduced by
+            # grad_reduce; a second pmean would be a no-op but wasteful.
             metrics["debug/d_grads"] = d_grads
             metrics["debug/g_grads"] = g_grads
 

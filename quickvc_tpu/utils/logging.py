@@ -15,12 +15,20 @@ import numpy as np
 
 
 def get_logger(model_dir: str, filename: str = "train.log") -> logging.Logger:
-    logger = logging.getLogger(os.path.basename(os.path.abspath(model_dir)))
+    # Keyed by the FULL log path: two model dirs sharing a basename (or one
+    # process training in several dirs in sequence) must not inherit each
+    # other's cached file handler.
+    target = os.path.abspath(os.path.join(model_dir, filename))
+    logger = logging.getLogger(f"quickvc[{target}]")
     logger.setLevel(logging.DEBUG)
     logger.propagate = False  # avoid duplicate lines via the root handler
-    if not logger.handlers:
+    if not any(isinstance(h, logging.FileHandler) and h.baseFilename == target
+               for h in logger.handlers):
+        for h in list(logger.handlers):
+            logger.removeHandler(h)
+            h.close()
         os.makedirs(model_dir, exist_ok=True)
-        fh = logging.FileHandler(os.path.join(model_dir, filename))
+        fh = logging.FileHandler(target)
         fh.setFormatter(logging.Formatter("%(asctime)s\t%(name)s\t%(levelname)s\t%(message)s"))
         logger.addHandler(fh)
         sh = logging.StreamHandler(sys.stdout)

@@ -149,7 +149,10 @@ def save_reference_checkpoint(path: str, state_dict: Mapping[str, np.ndarray],
     import torch
 
     torch.save({
-        "model": {k: torch.from_numpy(np.asarray(v)) for k, v in state_dict.items()},
+        # copy: jax-backed arrays can be non-writable views, which
+        # torch.from_numpy warns about (UB if the tensor were written)
+        "model": {k: torch.from_numpy(np.array(v, copy=True))
+                  for k, v in state_dict.items()},
         "iteration": int(iteration),
         "optimizer": None,  # see module docstring
         "learning_rate": float(learning_rate),

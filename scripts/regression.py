@@ -18,6 +18,12 @@ environments):
 Note: inference samples the prior (reference models.py:638, eps*exp(logs));
 for a deterministic comparison we run with --noise-scale 0 AND also report
 mel-L1 which is robust to the small prior noise.
+
+Golden-stability note (ADVICE r2): this harness deliberately runs ONE pair
+per forward (the convert.py --batch 1 equivalent) so its mel-L1 numbers
+stay comparable across framework versions — convert.py's default --batch 8
+shifts numerics by ~3e-5 rel (batched reductions + different rng split
+structure) which is irrelevant for audio but visible to golden diffs.
 """
 
 from __future__ import annotations

@@ -65,8 +65,9 @@ def test_pipeline_trains_and_infers(synth_dataset, rng):
     f = item["spec"].shape[0]
     assert item["spec"].shape[1] == cfg.spec_channels
     assert abs(item["unit"].shape[0] - f) <= 1
-    # spec cache materialized beside the wav
-    assert any(p.endswith(".spec.npy") for p in os.listdir(os.path.dirname(ds.audiopaths[0])))
+    # spec cache materialized beside the wav, keyed by the STFT config
+    assert any(p.endswith(ds.spec_suffix)
+               for p in os.listdir(os.path.dirname(ds.audiopaths[0])))
 
     sampler = BucketSampler(ds.lengths, cfg.train.batch_size,
                             [32, 40, 50, 60, 70, 80, 90, 100], shuffle=True)
@@ -102,6 +103,62 @@ def test_pipeline_trains_and_infers(synth_dataset, rng):
     wave = net_g.apply(params, unit, g_vec, 0.0, method=SynthesizerTrn.infer)
     assert wave.shape == (1, (f - 1) * cfg.data.hop_length, 1)
     assert np.isfinite(np.asarray(wave)).all()
+
+
+def test_spec_cache_invalidated_by_config_change(tmp_path, rng):
+    """A changed STFT config must never load a stale cached spec.
+
+    The reference caches ``.spec.pt`` unkeyed (data_utils_new_new.py:113-118)
+    and silently serves stale spectrograms after a ``hop_length`` change; our
+    cache filename carries the (filter, hop, win) fingerprint.
+    """
+    from quickvc_tpu.config import DataConfig
+
+    t = 16000
+    wav = (0.3 * np.sin(2 * np.pi * 220 * np.arange(t) / 16000)).astype(np.float32)
+    p = tmp_path / "utt.wav"
+    write_wav_int16(str(p), wav, 16000)
+    np.save(str(tmp_path / "utt.npy"),
+            rng.standard_normal((t // 320, UNIT_DIM)).astype(np.float32))
+    lst = tmp_path / "train.txt"
+    lst.write_text(f"{p}\n")
+
+    cfg_a = e2e_config(str(lst))
+    spec_a = UnitAudioSpecDataset("train", cfg_a)[0]["spec"]
+
+    cfg_b = e2e_config(str(lst))
+    cfg_b.data = DataConfig(training_files=str(lst), validation_files=str(lst),
+                            filter_length=512, hop_length=128, win_length=512)
+    spec_b = UnitAudioSpecDataset("train", cfg_b)[0]["spec"]
+    assert spec_b.shape != spec_a.shape  # recomputed, not the stale cache
+    assert spec_b.shape[1] == 512 // 2 + 1
+
+    # Both caches coexist under distinct fingerprinted names, and a re-read
+    # under the original config still hits its own (bitwise-equal) cache.
+    names = sorted(os.listdir(tmp_path))
+    assert sum(".spec-" in n for n in names) == 2
+    again = UnitAudioSpecDataset("train", cfg_a)[0]["spec"]
+    np.testing.assert_array_equal(again, spec_a)
+
+
+def test_suffix_safe_path_derivation(tmp_path, rng):
+    """'.wav' occurring mid-path must not corrupt unit/spec path derivation
+    (the reference's path.replace('.wav', ...) substitutes the first match)."""
+    d = tmp_path / "corpus.wav"  # adversarial directory name
+    d.mkdir()
+    t = 16000
+    wav = (0.1 * rng.standard_normal(t)).astype(np.float32)
+    p = d / "a.wav.b.wav"        # adversarial file name
+    write_wav_int16(str(p), wav, 16000)
+    np.save(str(d / "a.wav.b.npy"),
+            rng.standard_normal((t // 320, UNIT_DIM)).astype(np.float32))
+    lst = tmp_path / "train.txt"
+    lst.write_text(f"{p}\n")
+    cfg = e2e_config(str(lst))
+    ds = UnitAudioSpecDataset("train", cfg)
+    item = ds[0]
+    assert item["unit"].shape[1] == UNIT_DIM
+    assert os.path.exists(str(d / ("a.wav.b" + ds.spec_suffix)))
 
 
 def test_bucket_sampler_rank_sharding():

@@ -94,6 +94,31 @@ def test_latest_torch_checkpoint_numeric_sort(tmp_path):
     assert latest_torch_checkpoint(str(tmp_path), "D_") is None
 
 
+def test_run_exports_torch_checkpoints_midrun(tmp_path, synth_dataset):  # noqa: F811
+    """train.export_torch_every drops loadable reference-layout .pth files
+    during training (reference train.py:181-186 cadence)."""
+    from quickvc_tpu.train.loop import run
+    from quickvc_tpu.utils.torch_port import load_torch_state_dict
+
+    cfg = e2e_config(synth_dataset)
+    cfg.model_dir = str(tmp_path / "run")
+    os.makedirs(cfg.model_dir)
+    cfg.train.eval_interval = 0
+    cfg.train.batch_size = 8
+    cfg.train.export_torch_every = 2
+    run(cfg, max_steps=3)
+
+    for step in (0, 2):
+        for prefix, port in (("G_", lambda sd: port_generator(sd, cfg.model)),
+                             ("D_", port_discriminator)):
+            path = os.path.join(cfg.model_dir, f"{prefix}{step}.pth")
+            assert os.path.exists(path), path
+            ported = to_jax(port(load_torch_state_dict(path)))
+            assert all(np.isfinite(np.asarray(x)).all()
+                       for x in jax.tree.leaves(ported))
+    assert latest_torch_checkpoint(cfg.model_dir, "G_").endswith("G_2.pth")
+
+
 def test_run_warm_starts_from_model_dir(tmp_path, synth_dataset):  # noqa: F811
     """run() with reference .pth files in model_dir fine-tunes from them:
     starts at the checkpoint iteration, proceeds finite, checkpoints orbax."""

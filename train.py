@@ -22,6 +22,13 @@ def main():
     parser.add_argument("--profile-steps", type=int, default=0,
                         help="capture an XLA trace of N steps into "
                              "model_dir/profile (view in TensorBoard)")
+    parser.add_argument("--export-torch-every", type=int, default=None,
+                        metavar="N",
+                        help="also write reference-layout G_<step>.pth/"
+                             "D_<step>.pth into model_dir every N steps "
+                             "(reference train.py:181-186 torch checkpoints); "
+                             "overrides train.export_torch_every from the "
+                             "config")
     parser.add_argument("--init-from-torch", type=str, nargs="+", default=None,
                         metavar=("G.pth", "D.pth"),
                         help="warm-start from reference-layout torch "
@@ -46,6 +53,8 @@ def main():
     enable_persistent_cache()
 
     cfg = get_config(args.config, args.model, args.modelroot)
+    if args.export_torch_every is not None:
+        cfg.train.export_torch_every = args.export_torch_every
 
     from quickvc_tpu.train.loop import run
     run(cfg, max_steps=args.max_steps, profile_steps=args.profile_steps,
