@@ -117,6 +117,15 @@ def main():
                              "strategy as dataset/encode.py); 0 = exact "
                              "lengths, one compile per distinct length "
                              "(reference behavior)")
+    parser.add_argument("--hubert-front", type=str, default="faststats",
+                        choices=["xla", "faststats", "pallas"],
+                        help="HuBERT extractor front implementation "
+                             "(models/hubert.py FeatureExtractor). "
+                             "'faststats' (default) computes the GroupNorm "
+                             "affine in closed form so XLA fuses it into "
+                             "conv0 — measured part of the 3123->4721x rt "
+                             "e2e win (BENCH.md); numerics identical at the "
+                             "compute dtype (tests/test_pallas.py)")
     parser.add_argument("--batch", type=int, default=8,
                         help="pairs per batched forward within a length "
                              "bucket (dataset/encode.py strategy; the chip "
@@ -133,7 +142,7 @@ def main():
     print("Loading model...")
     net_g = SynthesizerTrn(cfg.spec_channels, cfg.segment_frames, cfg.model)
     g_params = load_generator_params(args.ptfile, cfg)
-    hubert = HubertSoft()
+    hubert = HubertSoft(front_mode=args.hubert_front)
     h_params = load_hubert_params(args.hubert)
     basis = jnp.asarray(mel_filterbank(sr, cfg.data.filter_length, cfg.data.n_mel_channels,
                                        cfg.data.mel_fmin, cfg.data.mel_fmax))

@@ -34,7 +34,7 @@ def encode_dataset(args):
     from quickvc_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    hubert = HubertSoft()
+    hubert = HubertSoft(front_mode=args.hubert_front)
     params = load_hubert_params(args.hubert)
     units_fn = jax.jit(lambda p, w: hubert.apply(p, w, method=HubertSoft.units))
 
@@ -87,5 +87,10 @@ if __name__ == "__main__":
     parser.add_argument("--hubert", default="logs/hubert-soft.pt", type=str)
     parser.add_argument("--batch", default=16, type=int,
                         help="files per batched HuBERT forward (same-length bucket)")
+    parser.add_argument("--hubert-front", default="faststats", type=str,
+                        choices=["xla", "faststats", "pallas"],
+                        help="extractor front mode (see convert.py); "
+                             "faststats = measured-fastest serving config, "
+                             "numerics identical at the compute dtype")
     args = parser.parse_args()
     encode_dataset(args)

@@ -61,6 +61,12 @@ class TrainConfig:
                                     # GradScaler step-skip, train.py:133-137,
                                     # 155-162, generalized to bf16 — no loss
                                     # scaling, just the skip)
+    zero_opt_state: bool = False    # ZeRO-1: shard AdamW moments over the
+                                    # data axis (parallel/mesh.py:
+                                    # zero1_state_sharding) — n× less
+                                    # optimizer state per chip, GSPMD
+                                    # partitions the update; params stay
+                                    # replicated. GSPMD path only.
     ckpt_max_to_keep: int = 5       # orbax retention; the reference keeps
                                     # every G_*/D_*.pth it ever writes
                                     # (utils.py:181-193), which at 1000-step
@@ -86,6 +92,11 @@ class TrainConfig:
             raise ValueError(
                 f"loader_mode={self.loader_mode!r}: must be 'thread' or "
                 f"'process'")
+        if self.zero_opt_state and self.grad_reduce_dtype != "f32":
+            raise ValueError(
+                "zero_opt_state requires the GSPMD path "
+                "(grad_reduce_dtype='f32'); the explicit shard_map step "
+                "carries fully-replicated state")
 
 
 @dataclass

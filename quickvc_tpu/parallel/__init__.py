@@ -13,6 +13,7 @@ from quickvc_tpu.parallel.mesh import (  # noqa: F401
     data_parallel_mesh,
     replicated,
     shard_batch,
+    zero1_state_sharding,
 )
 from quickvc_tpu.parallel.shard_step import (  # noqa: F401
     make_sharded_train_step,

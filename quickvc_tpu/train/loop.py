@@ -35,15 +35,19 @@ BUCKET_BOUNDARIES = [32, 40, 50, 60, 70, 80, 90, 100, 110, 120, 160, 200, 230,
 def _place(tree, sharding):
     """Host pytree -> globally-sharded jax arrays.
 
-    Single-process: plain device_put. Multi-process: every process holds
-    either the full value (replicated shardings) or its per-host shard
-    (batch shardings); ``make_array_from_process_local_data`` assembles the
-    global array — device_put cannot target non-addressable devices.
+    ``sharding`` is a single sharding for the whole tree OR a matching
+    pytree of per-leaf shardings (ZeRO-1 state). Single-process: plain
+    device_put. Multi-process: every process holds either the full value
+    (replicated shardings) or its per-host shard (batch shardings);
+    ``make_array_from_process_local_data`` assembles the global array —
+    device_put cannot target non-addressable devices.
     """
     if jax.process_count() == 1:
         return jax.device_put(tree, sharding)
-    return jax.tree.map(lambda x: jax.make_array_from_process_local_data(
-        sharding, np.asarray(x)), tree)
+    if isinstance(sharding, jax.sharding.Sharding):
+        sharding = jax.tree.map(lambda _: sharding, tree)
+    return jax.tree.map(lambda x, s: jax.make_array_from_process_local_data(
+        s, np.asarray(x)), tree, sharding)
 
 
 def run(cfg: QuickVCConfig, max_steps: int | None = None,
@@ -72,16 +76,24 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
     state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed))
     logger.info("Generator params: %.2fM | Discriminator params: %.2fM",
                 param_count(state.g_params) / 1e6, param_count(state.d_params) / 1e6)
+    # State sharding: fully replicated, or ZeRO-1 (AdamW moments sharded
+    # over the data axis; parallel/mesh.py:zero1_state_sharding).
+    if cfg.train.zero_opt_state:
+        from quickvc_tpu.parallel import zero1_state_sharding
+        state_sh = zero1_state_sharding(mesh, state)
+    else:
+        state_sh = jax.tree.map(lambda _: rep, state)
 
     ckpt = CheckpointManager(cfg.model_dir,
                              max_to_keep=cfg.train.ckpt_max_to_keep)
-    # Restore straight onto the replicated sharding: in multi-process runs
+    # Restore straight onto the target shardings: in multi-process runs
     # orbax reassembles global arrays only when the abstract tree carries
     # shardings (a host-numpy restore can't span non-addressable devices).
     restored = ckpt.restore_latest(jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep), state))
+        lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+        state, state_sh))
     if restored is not None:
-        state, start_step = restored  # already placed on `rep`
+        state, start_step = restored  # already placed on `state_sh`
         logger.info("Resumed from checkpoint at step %d", start_step)
     else:
         # No orbax checkpoint: warm-start from reference-layout .pth files —
@@ -99,7 +111,7 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
             logger.info("Warm-started from torch checkpoint %s%s at iteration "
                         "%d (fresh optimizers)", g_path,
                         f" + {d_path}" if d_path else " (D from scratch)", it)
-        state = _place(state, rep)
+        state = _place(state, state_sh)
 
     basis = jnp.asarray(mel_filterbank(cfg.data.sampling_rate, cfg.data.filter_length,
                                        cfg.data.n_mel_channels))
@@ -114,8 +126,8 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                                           reduce_dtype=jnp.bfloat16)
     else:
         step_fn = jax.jit(make_train_step(cfg, net_g, net_d, basis),
-                          in_shardings=(rep, bsh, rep),
-                          out_shardings=(rep, rep), donate_argnums=(0,))
+                          in_shardings=(state_sh, bsh, rep),
+                          out_shardings=(state_sh, rep), donate_argnums=(0,))
 
     if n_proc > 1:
         # Establish the global collective context while ranks are still in
@@ -181,6 +193,9 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
 
             if global_step % cfg.train.log_interval == 0:
                 m = jax.device_get(metrics)
+                # (frames, mels) first-item mel images computed in-step
+                # (reference train.py:174-178); everything else is scalars
+                imgs = {k: m.pop(k) for k in list(m) if k.startswith("img/")}
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
                 g_total = float(m["loss/g/total"])
@@ -225,6 +240,15 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                             float(m["loss/g/mel"]), float(m["loss/g/kl"]), dt)
                 if writer:
                     writer.scalars(global_step, m)
+                    # reference TB image tags (train.py:174-178)
+                    writer.images(global_step, {
+                        "slice/mel_org": plot_spectrogram(
+                            np.asarray(imgs["img/mel_org"], np.float32).T),
+                        "slice/mel_gen": plot_spectrogram(
+                            np.asarray(imgs["img/mel_gen"], np.float32).T),
+                        "all/mel": plot_spectrogram(
+                            np.asarray(imgs["img/mel_all"], np.float32).T),
+                    })
             if cfg.train.eval_interval and global_step % cfg.train.eval_interval == 0:
                 if pid == 0:
                     mel_l1 = evaluate(global_step, cfg, net_g, state, eval_ds,

@@ -184,7 +184,7 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
             loss_mel = cfg.train.c_mel * jnp.mean(jnp.abs(y_mel - y_hat_mel))
             loss_kl = cfg.train.c_kl * kl_loss(z_p, logs_q, m_p, logs_p)
             loss_fm = feature_loss(fmap_r, fmap_g)
-            loss_gen, _ = generator_loss(logits_g)
+            loss_gen, gen_losses = generator_loss(logits_g)
             if use_subband_loss:
                 y_mb = pqmf.analysis(y_seg)
                 loss_sub = subband_stft_loss(
@@ -194,7 +194,16 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
                 loss_sub = jnp.zeros(())
             total = loss_gen + loss_fm + loss_mel + loss_kl + loss_sub
             aux = {"loss/g/total": total, "loss/g/gen": loss_gen, "loss/g/fm": loss_fm,
-                   "loss/g/mel": loss_mel, "loss/g/kl": loss_kl, "loss/g/subband": loss_sub}
+                   "loss/g/mel": loss_mel, "loss/g/kl": loss_kl, "loss/g/subband": loss_sub,
+                   # reference train.py:172 logs per-discriminator generator
+                   # losses as loss/g/{i}; the Summarizer expands the vector
+                   "loss/g": jnp.stack(gen_losses),
+                   # reference train.py:174-178 logs mel images of the
+                   # training slice every log step; the 32x80 first-item
+                   # slices ride the metrics dict (fetched only on log
+                   # steps) so they cost no extra compute
+                   "img/mel_gen": jax.lax.stop_gradient(y_hat_mel[0]),
+                   "img/mel_org": jax.lax.stop_gradient(y_mel[0])}
             return total, aux
 
         (loss_g_total, g_aux), out_grads = jax.value_and_grad(
@@ -215,6 +224,13 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
         metrics["loss/d/total"] = loss_disc
         metrics["loss/d/r"] = losses_d_r
         metrics["loss/d/g"] = losses_d_g
+        # reference train.py:176 "all/mel": the full (uncropped) target mel
+        metrics["img/mel_all"] = mel[0]
+        # gradient global-norms: one fused sum-of-squares pass per tree,
+        # computed AFTER the cross-shard reduce so the scalars are already
+        # replicated (beyond-reference observability)
+        metrics["grad_norm/d"] = optax.global_norm(d_grads)
+        metrics["grad_norm/g"] = optax.global_norm(g_grads)
         if guard:
             metrics["guard/d_skipped"] = 1.0 - d_ok.astype(jnp.float32)
             metrics["guard/g_skipped"] = 1.0 - g_ok.astype(jnp.float32)

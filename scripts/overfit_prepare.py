@@ -7,12 +7,18 @@ The reference's implicit evidence is its shipped 1.2M-step checkpoints
 /root/reference/test_data with the loss / eval mel-L1 trajectory recorded in
 BENCH.md.
 
-Units: the real workflow derives 256-dim HuBERT-soft units offline
-(dataset/encode.py); the pretrained HuBERT checkpoint is not available in
-this environment, so units here are a fixed seeded linear projection of the
-log-mel — deterministic and content-correlated, which exercises the same
-prior/KL/flow learning problem (the prior must map units to the posterior;
-content-correlated units make that mapping learnable, unlike pure noise).
+Units (``--units``, VERDICT r2 item 2):
+
+- ``hubert`` (default): the REAL offline pipeline, driven through the
+  actual CLIs — ``downsample.py`` (trim/peak/resample/s16) then
+  ``dataset/encode.py`` running the full 94M flax HuBERT-soft with seeded
+  random weights (the pretrained checkpoint is not fetchable offline; a
+  seeded random HuBERT is still a deterministic content-dependent
+  featurizer — random-feature units carry the content, the prior must
+  learn the same unit->latent mapping). This matches the reference's
+  dataset/encode.py:13-38 -> data_utils_new_new.py:120-123 data flow.
+- ``mel_proj``: the round-2 stand-in — a fixed seeded linear projection of
+  the log-mel. Kept for A/Bs; easier for the prior than real units.
 
 Host-only prep (run under CPU env):
 
@@ -41,46 +47,26 @@ sys.path.insert(0, REPO)
 REF_DATA = "/root/reference/test_data"
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--root", default="/tmp/qvc_overfit")
-    parser.add_argument("--batch-size", type=int, default=8)
-    args = parser.parse_args()
-    root = args.root
-
+def _mel_proj_units(root: str, paths: list[str]) -> None:
+    """Round-2 stand-in units: seeded linear projection of the log-mel."""
     from quickvc_tpu.config import QuickVCConfig
-    from quickvc_tpu.data.audio_io import (peak_normalize, read_audio,
-                                           resample, trim_silence,
-                                           write_wav_int16)
+    from quickvc_tpu.data.audio_io import read_audio
     from quickvc_tpu.data.dataset import _compute_spec
     from quickvc_tpu.dsp.mel import mel_filterbank
 
-    os.makedirs(f"{root}/data", exist_ok=True)
     cfg = QuickVCConfig()
     basis = mel_filterbank(cfg.data.sampling_rate, cfg.data.filter_length,
                            cfg.data.n_mel_channels)  # (80, 641)
-
-    # Fixed projection: 80-dim log-mel -> 256-dim "units" (seeded, unit rows)
     rng = np.random.default_rng(0)
     proj = rng.standard_normal((cfg.data.n_mel_channels,
                                 cfg.model.unit_channels)).astype(np.float32)
     proj /= np.linalg.norm(proj, axis=0, keepdims=True)
 
-    paths, mels = [], []
-    for src in sorted(glob.glob(f"{REF_DATA}/*.wav")):
-        wav, sr = read_audio(src)
-        wav, _ = trim_silence(wav, top_db=20)
-        wav = peak_normalize(wav, 0.95)
-        wav = resample(wav, sr, cfg.data.sampling_rate)
-        out = f"{root}/data/{os.path.basename(src)}"
-        write_wav_int16(out, wav, cfg.data.sampling_rate)
-        # spec exactly as the training loader computes it -> unit frame
-        # count matches the spec frame count per item
-        wav16, _ = read_audio(out)  # round-trip through s16 like training
+    mels = []
+    for p in paths:
+        wav16, _ = read_audio(p)  # round-trip through s16 like training
         spec = _compute_spec(wav16, cfg)  # (Frame, 641)
-        mel = np.log(np.clip(spec @ basis.T, 1e-5, None))  # (Frame, 80)
-        paths.append(out)
-        mels.append(mel)
+        mels.append(np.log(np.clip(spec @ basis.T, 1e-5, None)))  # (Frame, 80)
 
     # Standardize units over the corpus (HuBERT-soft units are roughly
     # zero-mean unit-scale per dim; the prior encoder expects that regime).
@@ -88,8 +74,53 @@ def main():
     cat = np.concatenate(units, axis=0)
     mu, sd = cat.mean(0), cat.std(0) + 1e-5
     for p, u in zip(paths, units):
-        np.save(p.replace(".wav", ".npy"),
-                ((u - mu) / sd).astype(np.float32))
+        np.save(p[: -len(".wav")] + ".npy", ((u - mu) / sd).astype(np.float32))
+
+
+def _hubert_units(root: str, hubert_pt: str | None) -> None:
+    """REAL pipeline: seeded full-size HuBERT -> dataset/encode.py CLI."""
+    import subprocess
+
+    path = hubert_pt or f"{root}/hubert-soft.pt"
+    if hubert_pt is None and not os.path.exists(path):
+        import torch
+
+        sys.path.insert(0, os.path.join(REPO, "tests"))
+        from ref_convert_harness import TorchHubertSoft
+
+        torch.manual_seed(5)
+        torch.save({"hubert": TorchHubertSoft().state_dict()}, path)
+        print("seeded full-size HuBERT checkpoint ->", path)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "dataset", "encode.py"), "soft",
+         f"{root}/data", f"{root}/data", "--hubert", path], check=True)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--root", default="/tmp/qvc_overfit")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--units", choices=["hubert", "mel_proj"],
+                        default="hubert")
+    parser.add_argument("--hubert", default=None,
+                        help="bshall-layout HuBERT .pt (default: seeded "
+                             "random full-size, written under --root)")
+    args = parser.parse_args()
+    root = args.root
+
+    import subprocess
+
+    os.makedirs(f"{root}/data", exist_ok=True)
+    # the real preprocessing CLI (reference downsample.py equivalent)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "downsample.py"),
+         "--in-dir", REF_DATA, "--out-dir", f"{root}/data"], check=True)
+    paths = sorted(glob.glob(f"{root}/data/*.wav"))
+
+    if args.units == "hubert":
+        _hubert_units(root, args.hubert)
+    else:
+        _mel_proj_units(root, paths)
 
     with open(f"{root}/train.txt", "w") as f:
         f.writelines(p + "\n" for p in paths)
@@ -105,9 +136,9 @@ def main():
         "validation_files": f"{root}/train.txt",
     })
     json.dump(cfg_json, open(f"{root}/overfit.json", "w"), indent=1)
-    print(f"prepared {len(paths)} wavs "
-          f"({sum(len(m) for m in mels) * cfg.data.hop_length / 16000:.1f} s "
-          f"audio) under {root}")
+    secs = sum(os.path.getsize(p) for p in paths) / 2 / 16000  # s16 mono
+    print(f"prepared {len(paths)} wavs (~{secs:.1f} s audio, "
+          f"units={args.units}) under {root}")
 
 
 if __name__ == "__main__":

