@@ -135,3 +135,43 @@ def test_fused_mel_non_multiple_length(rng):
         wave_to_mel_pallas, jnp.asarray(y), 16000, 1280, 320, 1280, 80))
     n = min(golden.shape[1], ours.shape[1])
     np.testing.assert_allclose(ours[:, :n], golden[:, :n], atol=2e-3, rtol=2e-3)
+
+
+class TestFusedDiscConv:
+    """conv5_lrelu (ops/fused_disc_conv.py): fwd + custom VJP vs XLA."""
+
+    def test_forward_matches_xla(self, rng):
+        from quickvc_tpu.ops.fused_disc_conv import (
+            conv5_lrelu, conv5_lrelu_reference)
+
+        n, rows, c_in, c_out = 3, 37, 256, 128
+        x = jnp.asarray(rng.standard_normal((n, rows, c_in)).astype(np.float32) * 0.3)
+        k = jnp.asarray(rng.standard_normal((5, c_in, c_out)).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.standard_normal((c_out,)).astype(np.float32) * 0.1)
+
+        golden = np.asarray(conv5_lrelu_reference(x, k, b, 0.1))
+        ours = np.asarray(_pallas_interpret(conv5_lrelu, x, k, b, 0.1))
+        np.testing.assert_allclose(ours, golden, atol=2e-5, rtol=1e-5)
+
+    def test_vjp_matches_xla(self, rng):
+        from quickvc_tpu.ops.fused_disc_conv import (
+            conv5_lrelu, conv5_lrelu_reference)
+
+        n, rows, c_in, c_out = 2, 21, 128, 256
+        x = jnp.asarray(rng.standard_normal((n, rows, c_in)).astype(np.float32) * 0.3)
+        k = jnp.asarray(rng.standard_normal((5, c_in, c_out)).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.standard_normal((c_out,)).astype(np.float32) * 0.1)
+        dy = jnp.asarray(rng.standard_normal((n, rows, c_out)).astype(np.float32))
+
+        def loss_ref(x, k, b):
+            return jnp.sum(conv5_lrelu_reference(x, k, b, 0.1) * dy)
+
+        def loss_ours(x, k, b):
+            return jnp.sum(conv5_lrelu(x, k, b, 0.1) * dy)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, b)
+        g_ours = _pallas_interpret(
+            lambda: jax.grad(loss_ours, argnums=(0, 1, 2))(x, k, b))
+        for a, c, name in zip(g_ours, g_ref, ("dx", "dw", "db")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=5e-5, rtol=1e-4, err_msg=name)
