@@ -41,11 +41,16 @@ def _round_up(n: int, m: int) -> int:
 def _fwd_kernel(x_ref, k_ref, b_ref, out_ref, *, rows, slope):
     """One (n, c_out tile) program: 5 shifted matmuls + bias + LReLU."""
     x = x_ref[0]  # (rows_pad + PAD, C_in)
+    # Mosaic's sublane rotate is 32-bit only ("Rotate with non-32-bit data"
+    # on real TPU; interpret mode accepts bf16) — roll an f32 view and
+    # downcast at the matmul input, which is lossless for bf16.
+    x32 = x.astype(jnp.float32)
     acc = jnp.zeros(out_ref.shape[1:], jnp.float32)  # (rows_pad, c_out_t)
     for dr in range(K5):
         # rows dr .. dr+rows_pad-1: roll the halo'd buffer up by dr, then
         # take the aligned [0, rows_pad) window.
-        xs = pltpu.roll(x, shift=x.shape[0] - dr, axis=0)[: out_ref.shape[1]]
+        xs = pltpu.roll(x32, shift=x.shape[0] - dr, axis=0)[
+            : out_ref.shape[1]].astype(x.dtype)
         acc += jax.lax.dot_general(
             xs, k_ref[dr], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -57,6 +62,7 @@ def _dw_kernel(x_ref, dym_ref, dw_ref, *, rows):
     """dW[dr] for one (c_in tile, c_out tile), accumulated over n (last grid dim)."""
     n = pl.program_id(2)
     x = x_ref[0]        # (rows_pad + PAD, c_in_t)
+    x32 = x.astype(jnp.float32)  # 32-bit-only sublane rotate, see _fwd_kernel
     dym = dym_ref[0]    # (rows_pad, c_out_t)
 
     @pl.when(n == 0)
@@ -64,7 +70,8 @@ def _dw_kernel(x_ref, dym_ref, dw_ref, *, rows):
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
     for dr in range(K5):
-        xs = pltpu.roll(x, shift=x.shape[0] - dr, axis=0)[: dym.shape[0]]
+        xs = pltpu.roll(x32, shift=x.shape[0] - dr, axis=0)[
+            : dym.shape[0]].astype(x.dtype)
         # (c_in_t, c_out_t) = xs^T @ dym, contracting rows
         dw_ref[dr] += jax.lax.dot_general(
             xs, dym, (((0,), (0,)), ((), ())),
