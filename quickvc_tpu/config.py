@@ -61,6 +61,15 @@ class TrainConfig:
                                     # GradScaler step-skip, train.py:133-137,
                                     # 155-162, generalized to bf16 — no loss
                                     # scaling, just the skip)
+    guard_loss_max: float = 65504.0  # fp16-overflow-parity threshold: also
+                                    # skip an update whose loss EXCEEDS this
+                                    # (finite in bf16's 3.4e38 range, but the
+                                    # reference's fp16 autocast would have
+                                    # overflowed it to inf and GradScaler
+                                    # would skip — measured: without it, a
+                                    # bf16 GAN run applies 1e12..1e31-loss
+                                    # poisoned updates and oscillates;
+                                    # BENCH.md "real-unit run"). 0 disables.
     zero_opt_state: bool = False    # ZeRO-1: shard AdamW moments over the
                                     # data axis (parallel/mesh.py:
                                     # zero1_state_sharding) — n× less

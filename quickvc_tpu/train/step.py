@@ -42,7 +42,7 @@ from quickvc_tpu.ops.slicing import slice_segments
 from quickvc_tpu.train.state import TrainState, make_optimizer
 
 
-def _finite_flag(tree, *scalars) -> jax.Array:
+def _finite_flag(tree, *scalars, loss_max: float = 0.0) -> jax.Array:
     """Scalar bool: ``tree`` (and the extra scalars) contain no inf/nan.
 
     One fused f32 sum per leaf + a scalar isfinite per leaf, AND-reduced:
@@ -52,12 +52,23 @@ def _finite_flag(tree, *scalars) -> jax.Array:
     magnitudes inside ONE tensor, at which point skipping the step is the
     right call anyway. Still one read of the grads vs ~3 full param/moment
     passes for the where-select of the states.
+
+    ``loss_max`` (>0): additionally require every scalar's magnitude below
+    it — fp16-overflow parity. The reference trains under fp16 autocast
+    (train.py:117-131): any loss this large would have overflowed to inf
+    in fp16 and GradScaler would skip the step. bf16's f32-sized exponent
+    keeps such steps finite, so without this check their poisoned updates
+    are APPLIED (measured on the real-unit overfit: recurring 1e12..1e31
+    loss spikes, each taking ~10 steps to recover from — BENCH.md).
     """
     ok = jnp.asarray(True)
     for leaf in jax.tree.leaves(tree):
         ok = ok & jnp.isfinite(jnp.sum(leaf.astype(jnp.float32)))
     for s in scalars:
-        ok = ok & jnp.isfinite(s.astype(jnp.float32))
+        s = s.astype(jnp.float32)
+        ok = ok & jnp.isfinite(s)
+        if loss_max > 0:
+            ok = ok & (jnp.abs(s) < loss_max)
     return ok
 
 
@@ -94,6 +105,7 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
 
     opt = make_optimizer(cfg)
     guard = cfg.train.guard_nonfinite
+    guard_loss_max = float(getattr(cfg.train, "guard_loss_max", 0.0) or 0.0)
     hop = cfg.data.hop_length
     seg_frames = cfg.segment_frames
     seg_samples = cfg.train.segment_size
@@ -156,7 +168,7 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
             # untouched. Loss finiteness is checked too: JAX's |x| JVP is
             # select-based, so a NaN primal can yield finite-but-meaningless
             # grads (torch propagates the NaN and GradScaler skips).
-            d_ok = _finite_flag(d_grads, loss_disc)
+            d_ok = _finite_flag(d_grads, loss_disc, loss_max=guard_loss_max)
             d_params = _select_state(d_ok, d_params, state.d_params)
             d_opt = _select_state(d_ok, d_opt, state.d_opt)
 
@@ -216,7 +228,8 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
         g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
         if guard:
-            g_ok = _finite_flag(g_grads, loss_g_total)
+            g_ok = _finite_flag(g_grads, loss_g_total,
+                                loss_max=guard_loss_max)
             g_params = _select_state(g_ok, g_params, state.g_params)
             g_opt = _select_state(g_ok, g_opt, state.g_opt)
 

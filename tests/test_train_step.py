@@ -128,6 +128,49 @@ class TestTrainStep:
                              state.g_params, trained.g_params)
         assert max(jax.tree.leaves(moved)) > 0
 
+    def test_loss_max_guard_fp16_overflow_parity(self, rng):
+        """Finite-but-huge losses must be skipped like an fp16 AMP overflow.
+
+        The reference trains under fp16 autocast (train.py:117-131): a loss
+        past fp16's 65504 max would overflow to inf there and GradScaler
+        would skip the step. bf16 keeps such steps finite, so without
+        ``guard_loss_max`` their poisoned updates are applied — measured on
+        the real-unit TPU overfit (BENCH.md: recurring 1e12..1e31 spikes).
+        """
+        from quickvc_tpu.train.step import _finite_flag
+
+        # unit semantics of the threshold
+        tree = {"w": jnp.ones((4,))}
+        big, small = jnp.float32(1e5), jnp.float32(1e4)
+        assert not bool(_finite_flag(tree, big, loss_max=65504.0))
+        assert bool(_finite_flag(tree, small, loss_max=65504.0))
+        assert bool(_finite_flag(tree, big))  # loss_max=0 disables
+
+        cfg = tiny_config()
+        assert cfg.train.guard_loss_max == 65504.0  # fp16 max, on by default
+        state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(0))
+        basis = jnp.asarray(mel_filterbank(
+            cfg.data.sampling_rate, cfg.data.filter_length,
+            cfg.data.n_mel_channels))
+        step = jax.jit(make_train_step(cfg, net_g, net_d, basis))
+        batch = make_batch(cfg, rng)
+        # 1e6x real-wave amplitude: both phases' losses explode past 65504
+        # while staying FINITE (measured ~1.6e6 / 4.8e5) — the inf/nan check
+        # alone would let these poisoned updates through.
+        huge = dict(batch, wave=batch["wave"] * 1e6)
+
+        skipped, m = step(state, huge, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["loss/d/total"]))  # threshold, not inf
+        assert np.isfinite(float(m["loss/g/total"]))
+        assert float(m["guard/d_skipped"]) == 1.0
+        assert float(m["guard/g_skipped"]) == 1.0
+        for old, new in ((state.g_params, skipped.g_params),
+                         (state.d_params, skipped.d_params),
+                         (state.g_opt, skipped.g_opt),
+                         (state.d_opt, skipped.d_opt)):
+            for a, b in zip(jax.tree.leaves(old), jax.tree.leaves(new)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_vjp_step_matches_two_forward_reference(self, rng):
         """The single-forward (jax.vjp) step == an explicit two-forward step.
 
