@@ -360,7 +360,7 @@ def evaluate(global_step: int, cfg: QuickVCConfig, net_g: SynthesizerTrn,
     fns = _eval_fns(cfg, net_g, basis)
     hop = cfg.data.hop_length
     bucket = max(1, cfg.data.sampling_rate // hop)  # 1 s of frames
-    mel_l1s = []
+    mel_l1s, spk_sims = [], []
     for i in range(min(max_items, len(eval_ds))):
         item = eval_ds[i]
         n = min(item["unit"].shape[0], item["spec"].shape[0])
@@ -385,8 +385,20 @@ def evaluate(global_step: int, cfg: QuickVCConfig, net_g: SynthesizerTrn,
         nmin = min(y_hat_mel_np.shape[1], mel_np.shape[1])
         mel_l1s.append(float(np.mean(np.abs(
             y_hat_mel_np[:, :nmin] - mel_np[:, :nmin]))))
+        # Speaker-identity metric (beyond reference): cosine similarity
+        # between the target d-vector and the GENERATED audio's d-vector —
+        # does synthesis preserve the voice the decoder was conditioned
+        # on? Reuses the model's own speaker encoder + the same bucketed
+        # embed program as the conditioning pass (no extra compiles).
+        g_hat = np.asarray(
+            embed_utterance_batch(fns["embed"], params, y_hat_mel))
+        g_np = np.asarray(g_vec)
+        spk_sims.append(float(
+            (g_np * g_hat).sum()
+            / (np.linalg.norm(g_np) * np.linalg.norm(g_hat) + 1e-8)))
     mean_l1 = float(np.mean(mel_l1s)) if mel_l1s else None
     if mean_l1 is not None:
-        writer.scalars(global_step, {"eval/mel_l1": mean_l1})
+        writer.scalars(global_step, {"eval/mel_l1": mean_l1,
+                                     "eval/spk_sim": float(np.mean(spk_sims))})
     writer.flush()
     return mean_l1

@@ -237,8 +237,15 @@ def test_evaluate_static_shapes(synth_dataset, tmp_path):
     state, net_g, _ = create_train_state(cfg, jax.random.PRNGKey(0))
     basis = jnp.asarray(mf(16000, cfg.data.filter_length, 80))
     writer = Summarizer(str(tmp_path))
+    seen: dict = {}
+    orig_scalars = writer.scalars
+    writer.scalars = lambda step, d: (seen.update(d), orig_scalars(step, d))
     evaluate(1, cfg, net_g, state, ds, basis, writer, max_items=4)
     evaluate(2, cfg, net_g, state, ds, basis, writer, max_items=4)
+    # beyond-reference eval metrics: reconstruction mel-L1 + speaker-identity
+    # cosine between the target d-vector and the generated audio's d-vector
+    assert np.isfinite(seen["eval/mel_l1"])
+    assert -1.0 <= seen["eval/spk_sim"] <= 1.0
     fns = _eval_fns(cfg, net_g, basis)
     # items span 1.0-1.75 s -> at most 2 one-second buckets across BOTH calls
     assert fns["synth"]._cache_size() <= 2
