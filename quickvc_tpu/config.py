@@ -70,6 +70,10 @@ class TrainConfig:
                                     # bf16 GAN run applies 1e12..1e31-loss
                                     # poisoned updates and oscillates;
                                     # BENCH.md "real-unit run"). 0 disables.
+                                    # Independent of guard_nonfinite: the
+                                    # threshold alone still skips oversized-
+                                    # loss updates (scalar checks only — no
+                                    # per-leaf grad finiteness sums).
     zero_opt_state: bool = False    # ZeRO-1: shard AdamW moments over the
                                     # data axis (parallel/mesh.py:
                                     # zero1_state_sharding) — n× less

@@ -42,7 +42,8 @@ from quickvc_tpu.ops.slicing import slice_segments
 from quickvc_tpu.train.state import TrainState, make_optimizer
 
 
-def _finite_flag(tree, *scalars, loss_max: float = 0.0) -> jax.Array:
+def _finite_flag(tree, *scalars, loss_max: float = 0.0,
+                 check_tree: bool = True) -> jax.Array:
     """Scalar bool: ``tree`` (and the extra scalars) contain no inf/nan.
 
     One fused f32 sum per leaf + a scalar isfinite per leaf, AND-reduced:
@@ -60,10 +61,15 @@ def _finite_flag(tree, *scalars, loss_max: float = 0.0) -> jax.Array:
     keeps such steps finite, so without this check their poisoned updates
     are APPLIED (measured on the real-unit overfit: recurring 1e12..1e31
     loss spikes, each taking ~10 steps to recover from — BENCH.md).
+
+    ``check_tree=False`` skips the per-leaf grad sums (guard_nonfinite off,
+    loss threshold on): only the scalar checks run — the scalars still
+    catch inf/nan losses, whose grads the step would apply otherwise.
     """
     ok = jnp.asarray(True)
-    for leaf in jax.tree.leaves(tree):
-        ok = ok & jnp.isfinite(jnp.sum(leaf.astype(jnp.float32)))
+    if check_tree:
+        for leaf in jax.tree.leaves(tree):
+            ok = ok & jnp.isfinite(jnp.sum(leaf.astype(jnp.float32)))
     for s in scalars:
         s = s.astype(jnp.float32)
         ok = ok & jnp.isfinite(s)
@@ -104,8 +110,13 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
     """
 
     opt = make_optimizer(cfg)
-    guard = cfg.train.guard_nonfinite
+    guard_grads = cfg.train.guard_nonfinite
     guard_loss_max = float(getattr(cfg.train, "guard_loss_max", 0.0) or 0.0)
+    # Either protection alone activates the skip machinery: guard_loss_max
+    # with guard_nonfinite=False runs only the (nearly free) scalar loss
+    # checks — no per-leaf grad sums (ADVICE r3: the threshold used to be
+    # silently inert without the grad guard).
+    guard = guard_grads or guard_loss_max > 0
     hop = cfg.data.hop_length
     seg_frames = cfg.segment_frames
     seg_samples = cfg.train.segment_size
@@ -168,7 +179,8 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
             # untouched. Loss finiteness is checked too: JAX's |x| JVP is
             # select-based, so a NaN primal can yield finite-but-meaningless
             # grads (torch propagates the NaN and GradScaler skips).
-            d_ok = _finite_flag(d_grads, loss_disc, loss_max=guard_loss_max)
+            d_ok = _finite_flag(d_grads, loss_disc, loss_max=guard_loss_max,
+                                check_tree=guard_grads)
             d_params = _select_state(d_ok, d_params, state.d_params)
             d_opt = _select_state(d_ok, d_opt, state.d_opt)
 
@@ -229,7 +241,8 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
         g_params = optax.apply_updates(state.g_params, g_updates)
         if guard:
             g_ok = _finite_flag(g_grads, loss_g_total,
-                                loss_max=guard_loss_max)
+                                loss_max=guard_loss_max,
+                                check_tree=guard_grads)
             g_params = _select_state(g_ok, g_params, state.g_params)
             g_opt = _select_state(g_ok, g_opt, state.g_opt)
 

@@ -252,6 +252,85 @@ def test_evaluate_static_shapes(synth_dataset, tmp_path):
     assert fns["mel"]._cache_size() <= 2
 
 
+def test_eval_spk_sim_embeds_cropped_mel(synth_dataset, tmp_path, monkeypatch):
+    """eval/spk_sim must embed the generated mel CROPPED to the true frame
+    count — the reflect-padded tail would otherwise bias the d-vector the
+    metric is scored against (VERDICT r3 weak #3). The conditioning embed
+    keeps the padded mel (same windows as serving)."""
+    import quickvc_tpu.models.encoders as enc
+    from quickvc_tpu.train.loop import evaluate
+    from quickvc_tpu.utils.logging import Summarizer
+
+    cfg = e2e_config(synth_dataset)
+    ds = UnitAudioSpecDataset("eval", cfg)
+    state, net_g, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+    basis = jnp.asarray(mel_filterbank(16000, cfg.data.filter_length, 80))
+    writer = Summarizer(str(tmp_path))
+
+    calls = []
+    orig = enc.embed_utterance_batch
+
+    def spy(apply_fn, params, mel, **kw):
+        calls.append(int(mel.shape[1]))
+        return orig(apply_fn, params, mel, **kw)
+
+    monkeypatch.setattr(enc, "embed_utterance_batch", spy)
+    evaluate(1, cfg, net_g, state, ds, basis, writer, max_items=4)
+
+    bucket = cfg.data.sampling_rate // cfg.data.hop_length
+    true_n, padded_n = [], []
+    for i in range(4):
+        item = ds[i]
+        n = min(item["unit"].shape[0], item["spec"].shape[0])
+        true_n.append(n)
+        padded_n.append(int(np.ceil(n / bucket)) * bucket)
+    # calls alternate per item: conditioning embed (padded), generated
+    # embed (cropped to the true frame count)
+    assert calls[0::2] == padded_n
+    assert calls[1::2] == true_n
+    # the property is only meaningful if at least one item was padded
+    assert any(n < p for n, p in zip(true_n, padded_n))
+
+
+def test_dataset_flac_lengths_and_loading(tmp_path, rng):
+    """A FLAC filelist gets EXACT bucket lengths (container-header probe via
+    the native decoder) and loads end-to-end — the s16-wav filesize
+    heuristic would mis-bucket compressed audio ~2x (VERDICT r3 weak #7;
+    inherited reference flaw, data_utils_new_new.py:90-97)."""
+    from test_native_audio import encode_flac
+
+    from quickvc_tpu.data import native
+
+    if not native.available():
+        import subprocess
+        subprocess.run(["make", "-C",
+                        os.path.join(os.path.dirname(__file__), "..", "native")],
+                       check=True, capture_output=True)
+        native._LIB_TRIED = False
+        if not native.available():
+            pytest.skip("native library unavailable")
+
+    n = 48000  # 3 s at 16 kHz
+    base = np.cumsum(rng.integers(-20, 20, size=(n, 1)), axis=0).astype(np.int64)
+    p = tmp_path / "utt.flac"
+    # blocksize 1024: the mini encoder codes frame numbers as single-byte
+    # UTF-8 (< 128 frames), so 3 s needs 47 frames, not 188
+    p.write_bytes(encode_flac(base, blocksize=1024, subframe_kind="fixed1"))
+    np.save(str(tmp_path / "utt.npy"),
+            rng.standard_normal((n // 320, UNIT_DIM)).astype(np.float32))
+    list_path = tmp_path / "train.txt"
+    list_path.write_text(str(p) + "\n")
+
+    cfg = e2e_config(str(list_path))
+    ds = UnitAudioSpecDataset("train", cfg)
+    # exact: 48000 samples // hop 320 = 150 frames (the filesize heuristic
+    # on this ~compressed file would be far off)
+    assert ds.lengths == [n // cfg.data.hop_length]
+    item = ds[0]
+    assert item["wave"].shape[0] == n
+    assert abs(item["spec"].shape[0] - n // cfg.data.hop_length) <= 1
+
+
 def test_convert_pad_to_bucket():
     """convert.py's reflect bucketing: exact multiples, reflected content."""
     from convert import pad_to_bucket

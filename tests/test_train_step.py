@@ -171,6 +171,44 @@ class TestTrainStep:
             for a, b in zip(jax.tree.leaves(old), jax.tree.leaves(new)):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_loss_max_guard_independent_of_nonfinite_guard(self, rng):
+        """guard_loss_max must protect even with guard_nonfinite=False.
+
+        ADVICE r3: the threshold used to sit inside ``if guard_nonfinite``,
+        so setting only the loss cap silently provided no protection. Now
+        either knob alone activates the skip (the loss-only mode checks just
+        the scalars — no per-leaf grad sums).
+        """
+        import dataclasses
+
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, guard_nonfinite=False,
+                                           guard_loss_max=65504.0))
+        state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(0))
+        basis = jnp.asarray(mel_filterbank(
+            cfg.data.sampling_rate, cfg.data.filter_length,
+            cfg.data.n_mel_channels))
+        step = jax.jit(make_train_step(cfg, net_g, net_d, basis))
+        batch = make_batch(cfg, rng)
+        huge = dict(batch, wave=batch["wave"] * 1e6)
+
+        skipped, m = step(state, huge, jax.random.PRNGKey(1))
+        assert float(m["guard/d_skipped"]) == 1.0
+        assert float(m["guard/g_skipped"]) == 1.0
+        for old, new in ((state.g_params, skipped.g_params),
+                         (state.d_params, skipped.d_params),
+                         (state.g_opt, skipped.g_opt),
+                         (state.d_opt, skipped.d_opt)):
+            for a, b in zip(jax.tree.leaves(old), jax.tree.leaves(new)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # a clean batch still trains through the same compiled step
+        trained, m_ok = step(state, batch, jax.random.PRNGKey(1))
+        assert float(m_ok["guard/g_skipped"]) == 0.0
+        moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                             state.g_params, trained.g_params)
+        assert max(jax.tree.leaves(moved)) > 0
+
     def test_vjp_step_matches_two_forward_reference(self, rng):
         """The single-forward (jax.vjp) step == an explicit two-forward step.
 
