@@ -133,6 +133,13 @@ def main():
                              "batch dim is padded to this size so each "
                              "bucket costs exactly one compile. 1 = "
                              "reference-style one pair per forward")
+    parser.add_argument("--host-workers", type=int,
+                        default=min(8, os.cpu_count() or 1),
+                        help="thread-pool width for host-side per-pair "
+                             "read/resample/trim and wav writes (the "
+                             "reference preprocesses serially per pair, "
+                             "convert.py:58-86; numpy/scipy release the "
+                             "GIL, so this scales with host cores)")
     args = parser.parse_args()
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -178,9 +185,20 @@ def main():
     # cropped back to the source's true frame count. The reference
     # recompiles nothing (eager torch) but pays per-item dispatch; XLA
     # pays per-SHAPE, so static shapes are the TPU-native equivalent.
+    #
+    # Pairs preprocess in PARALLEL on a thread pool (the reference's loop
+    # is serial per pair, convert.py:58-86): the read/resample/trim numpy
+    # work releases the GIL, and the measured CLI wall time was
+    # host-floored at ~4.4 s/batch with device compute almost free
+    # (BENCH.md "CLI economics") — the host side is where the wall
+    # time lives, so it gets the same batch-parallel treatment as the
+    # training input pipeline (data/dataset.py).
+    from concurrent.futures import ThreadPoolExecutor
+
     t_start = time.time()
-    items = []
-    for title, src, tgt in pairs:
+
+    def prep_pair(pair):
+        title, src, tgt = pair
         wav_tgt, tsr = read_wav(tgt)
         wav_tgt = resample(wav_tgt, tsr, sr)
         wav_tgt, _ = trim_silence(wav_tgt, top_db=20)
@@ -190,8 +208,12 @@ def main():
         if bucket:
             wav_src = pad_to_bucket(wav_src, bucket)
             wav_tgt = pad_to_bucket(wav_tgt, bucket)
-        items.append({"title": title, "tgt": tgt, "src_wav": wav_src,
-                      "tgt_wav": wav_tgt, "n_frames": n_frames})
+        return {"title": title, "tgt": tgt, "src_wav": wav_src,
+                "tgt_wav": wav_tgt, "n_frames": n_frames}
+
+    host_pool = ThreadPoolExecutor(max(1, args.host_workers))
+    items = list(host_pool.map(prep_pair, pairs))
+    t_prep = time.time() - t_start
 
     # ---- Speaker d-vector once per UNIQUE target utterance ----
     # (convert.txt reuses a handful of targets across many pairs; the
@@ -219,6 +241,7 @@ def main():
 
     key = jax.random.PRNGKey(cfg.train.seed)
     nb = max(1, args.batch)
+    writes: list = []
     for length in sorted(groups):
         group = groups[length]
         for lo in range(0, len(group), nb):
@@ -240,10 +263,17 @@ def main():
                     out = out[: it["n_frames"] * hop]
                 name = (f"{time.strftime('%m-%d_%H-%M')}_{it['title']}.wav"
                         if args.use_timestamp else f"{it['title']}.wav")
-                write_wav(os.path.join(args.outdir, name), out, sr)
+                # wav writes overlap the next batch's device compute
+                writes.append(host_pool.submit(
+                    write_wav, os.path.join(args.outdir, name), out, sr))
                 print(f"{it['title']}: {len(out) / sr:.2f}s audio "
                       f"({len(chunk)}-pair batch in {dt:.2f}s)")
-    print(f"{len(items)} pairs in {time.time() - t_start:.2f}s; XLA compiles: "
+    for w in writes:
+        w.result()  # surface any write error before the summary line
+    host_pool.shutdown()
+    print(f"{len(items)} pairs in {time.time() - t_start:.2f}s "
+          f"(host prep {t_prep:.2f}s on {args.host_workers} workers); "
+          f"XLA compiles: "
           f"infer={infer_fn._cache_size()} units={units_fn._cache_size()} "
           f"embed={embed_fn._cache_size()}")
 

@@ -49,9 +49,9 @@ struct BitReader {
   }
 
   int64_t read_signed(int n) {
+    if (n <= 0) return 0;  // malformed bps (e.g. wasted >= bps) reaches here
     uint64_t v = read_bits(n);
-    if (n == 0) return 0;
-    if (v & (1ull << (n - 1))) v |= ~((1ull << n) - 1);  // sign extend
+    if (n < 64 && (v & (1ull << (n - 1)))) v |= ~((1ull << n) - 1);  // sign extend
     return (int64_t)v;
   }
 
@@ -159,11 +159,23 @@ bool read_residual(BitReader& br, int blocksize, int order, int64_t* res) {
   return true;
 }
 
+// Wrapping signed ops via uint64: malformed streams can drive predictor
+// state arbitrarily large, and signed int64 overflow is UB — two's-
+// complement wraparound keeps the (garbage-in, garbage-out) arithmetic
+// defined so the fuzz/ASAN gate is meaningful.
+inline int64_t wadd(int64_t a, int64_t b) { return (int64_t)((uint64_t)a + (uint64_t)b); }
+inline int64_t wsub(int64_t a, int64_t b) { return (int64_t)((uint64_t)a - (uint64_t)b); }
+inline int64_t wmul(int64_t a, int64_t b) { return (int64_t)((uint64_t)a * (uint64_t)b); }
+inline int64_t wshl(int64_t a, int n) { return (int64_t)((uint64_t)a << n); }
+
 bool decode_subframe(BitReader& br, int blocksize, int bps, int64_t* out) {
   if (br.read_bit() != 0) return false;  // padding bit
   int type = (int)br.read_bits(6);
   int wasted = 0;
   if (br.read_bit()) wasted = (int)br.read_unary() + 1;
+  // wasted-bits count is unary-coded and attacker-controlled: past the
+  // sample width the subframe is malformed (and <<= wasted would be UB)
+  if (wasted >= bps || wasted > 32) return false;
   bps -= wasted;
 
   if (type == 0) {  // CONSTANT
@@ -173,6 +185,9 @@ bool decode_subframe(BitReader& br, int blocksize, int bps, int64_t* out) {
     for (int i = 0; i < blocksize; ++i) out[i] = br.read_signed(bps);
   } else if (type >= 8 && type <= 12) {  // FIXED, order 0..4
     int order = type & 7;
+    // a frame may not declare more warmup samples than it holds — the
+    // warmup write below would overflow the blocksize-sized buffer
+    if (order > blocksize) return false;
     for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
     std::vector<int64_t> res(blocksize);
     if (!read_residual(br, blocksize, order, res.data())) return false;
@@ -180,14 +195,18 @@ bool decode_subframe(BitReader& br, int blocksize, int bps, int64_t* out) {
       int64_t r = res[i - order];
       switch (order) {
         case 0: out[i] = r; break;
-        case 1: out[i] = r + out[i - 1]; break;
-        case 2: out[i] = r + 2 * out[i - 1] - out[i - 2]; break;
-        case 3: out[i] = r + 3 * out[i - 1] - 3 * out[i - 2] + out[i - 3]; break;
-        case 4: out[i] = r + 4 * out[i - 1] - 6 * out[i - 2] + 4 * out[i - 3] - out[i - 4]; break;
+        case 1: out[i] = wadd(r, out[i - 1]); break;
+        case 2: out[i] = wsub(wadd(r, wmul(2, out[i - 1])), out[i - 2]); break;
+        case 3: out[i] = wadd(wsub(wadd(r, wmul(3, out[i - 1])),
+                                   wmul(3, out[i - 2])), out[i - 3]); break;
+        case 4: out[i] = wsub(wadd(wsub(wadd(r, wmul(4, out[i - 1])),
+                                        wmul(6, out[i - 2])),
+                                   wmul(4, out[i - 3])), out[i - 4]); break;
       }
     }
   } else if (type >= 32) {  // LPC, order 1..32
     int order = (type & 31) + 1;
+    if (order > blocksize) return false;  // same warmup-overflow guard
     for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
     int precision = (int)br.read_bits(4) + 1;
     if (precision == 16) return false;  // 0b1111 invalid
@@ -199,13 +218,13 @@ bool decode_subframe(BitReader& br, int blocksize, int bps, int64_t* out) {
     if (!read_residual(br, blocksize, order, res.data())) return false;
     for (int i = order; i < blocksize; ++i) {
       int64_t acc = 0;
-      for (int j = 0; j < order; ++j) acc += coef[j] * out[i - 1 - j];
-      out[i] = res[i - order] + (acc >> shift);
+      for (int j = 0; j < order; ++j) acc = wadd(acc, wmul(coef[j], out[i - 1 - j]));
+      out[i] = wadd(res[i - order], acc >> shift);
     }
   } else {
     return false;  // reserved
   }
-  if (wasted) for (int i = 0; i < blocksize; ++i) out[i] <<= wasted;
+  if (wasted) for (int i = 0; i < blocksize; ++i) out[i] = wshl(out[i], wasted);
   return !br.error;
 }
 
@@ -271,17 +290,17 @@ int64_t decode_flac(FlacFile& ff, int32_t* out, int64_t capacity, bool count_onl
     br.read_bits(16);                     // frame CRC-16 (not verified)
     if (br.error) return -14;
 
-    // stereo decorrelation
+    // stereo decorrelation (wrapping ops: values are attacker-controlled)
     if (left_side) {
-      for (int i = 0; i < blocksize; ++i) ch[1][i] = ch[0][i] - ch[1][i];
+      for (int i = 0; i < blocksize; ++i) ch[1][i] = wsub(ch[0][i], ch[1][i]);
     } else if (right_side) {
-      for (int i = 0; i < blocksize; ++i) ch[0][i] = ch[1][i] + ch[0][i];
+      for (int i = 0; i < blocksize; ++i) ch[0][i] = wadd(ch[1][i], ch[0][i]);
     } else if (mid_side) {
       for (int i = 0; i < blocksize; ++i) {
         int64_t side = ch[1][i];
-        int64_t mid = (ch[0][i] << 1) | (side & 1);
-        ch[0][i] = (mid + side) >> 1;
-        ch[1][i] = (mid - side) >> 1;
+        int64_t mid = wshl(ch[0][i], 1) | (side & 1);
+        ch[0][i] = wadd(mid, side) >> 1;
+        ch[1][i] = wsub(mid, side) >> 1;
       }
     }
 
@@ -318,6 +337,11 @@ int parse_wav(const std::vector<uint8_t>& b, WavInfo& wi) {
     uint32_t len;
     memcpy(&len, b.data() + pos + 4, 4);
     const uint8_t* tag = b.data() + pos;
+    // a truncated file may declare a chunk longer than the remaining
+    // bytes — clamp before reading chunk CONTENTS (the fmt reads below
+    // would otherwise run past the buffer)
+    size_t avail = b.size() - (pos + 8);
+    if ((size_t)len > avail) len = (uint32_t)avail;
     if (memcmp(tag, "fmt ", 4) == 0 && len >= 16) {
       uint16_t fmt, ch, bits; uint32_t sr;
       memcpy(&fmt, b.data() + pos + 8, 2);
@@ -339,6 +363,9 @@ int parse_wav(const std::vector<uint8_t>& b, WavInfo& wi) {
 int64_t decode_wav(const std::vector<uint8_t>& b, const WavInfo& wi,
                    int32_t* out, int64_t capacity, bool count_only) {
   int bytes = wi.bps / 8;
+  // malformed fmt chunks can declare bps < 8 or zero channels — the
+  // frame-count division below would divide by zero
+  if (bytes <= 0 || wi.channels <= 0) return -16;
   int64_t n = (int64_t)(wi.data_len / (size_t)(bytes * wi.channels));
   if (count_only) return n;
   if (n * wi.channels > capacity) return -15;

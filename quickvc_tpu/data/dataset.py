@@ -348,9 +348,23 @@ class DataLoader:
         self._procs: list = []
         self._task_q = None
         self._result_q = None
+        self._skip_next = 0
 
     def __len__(self) -> int:
         return len(self.sampler)
+
+    def skip_next_iter(self, n: int) -> None:
+        """Fast-forward the NEXT iteration past its first ``n`` batches.
+
+        Mid-epoch resume (train/loop.py): a run restored at global step k
+        re-enters epoch ``k // len(loader)`` and must consume exactly the
+        batches the interrupted run had not yet trained on. Skipped batches
+        are never assembled; the remaining ones keep their ORIGINAL batch
+        indices, so the (seed, epoch, batch index) crop contract — and
+        hence the training trajectory — is bit-identical to an
+        uninterrupted run. Consumed (reset to 0) by the next ``__iter__``.
+        """
+        self._skip_next = int(n)
 
     def _assemble(self, batch_index: int, bucket: int,
                   idxs: list[int]) -> dict[str, np.ndarray]:
@@ -371,7 +385,8 @@ class DataLoader:
         in_flight = self.num_workers + self.prefetch
         with ThreadPoolExecutor(self.num_workers) as pool:
             pending: deque = deque()
-            nxt = 0
+            nxt = self._skip_next  # mid-epoch resume: global indices kept
+            self._skip_next = 0
             while nxt < len(batches) or pending:
                 while nxt < len(batches) and len(pending) < in_flight:
                     k, idxs = batches[nxt]
@@ -426,7 +441,8 @@ class DataLoader:
         window: deque = deque()
         keep = self.num_workers + 2 * self.prefetch + 2
         pending: dict[int, tuple] = {}
-        nxt_submit = nxt_yield = 0
+        nxt_submit = nxt_yield = self._skip_next  # mid-epoch resume
+        self._skip_next = 0
         try:
             while nxt_yield < len(batches):
                 while nxt_submit < len(batches) and nxt_submit - nxt_yield < in_flight:

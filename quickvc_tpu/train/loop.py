@@ -145,7 +145,13 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
     base_key = jax.random.PRNGKey(cfg.train.seed + 17)
     # Resume epoch from the step counter (reference train.py:66 reconstructs
     # global_step from the epoch; we store the step and derive the epoch).
+    # A mid-epoch restore additionally fast-forwards the loader past the
+    # batches the interrupted run already trained on, so the resumed
+    # trajectory is BIT-IDENTICAL to an uninterrupted one (the reference
+    # restarts the whole epoch, replaying a partial epoch's batches) —
+    # pinned by tests/test_train_step.py::TestResumeTrajectory.
     epoch0 = global_step // max(1, len(loader)) + 1
+    resume_skip = global_step % max(1, len(loader))
     t_last = time.perf_counter()
     nonfinite_logs = 0
 
@@ -176,6 +182,8 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
             np.asarray(lr, np.float32), rep)
         state.d_opt.hyperparams["learning_rate"] = _place(
             np.asarray(lr, np.float32), rep)
+        if epoch == epoch0 and resume_skip:
+            loader.skip_next_iter(resume_skip)
         for batch in device_batches(loader):
             # Profiling harness (reference has only a commented-out profiler,
             # train.py:109-115): trace [5, 5 + profile_steps) after warmup.

@@ -593,3 +593,121 @@ class TestShardMapStep:
         shards = [np.asarray(s.data) for s in p0.addressable_shards]
         for s in shards[1:]:
             np.testing.assert_array_equal(shards[0], s)
+
+
+class TestResumeTrajectory:
+    """N steps straight == k steps + save/restore + (N-k) steps, BIT-exact.
+
+    VERDICT r3 item 2: state-identity resume tests can miss silent
+    optimizer-state/RNG loss (the reference's bare-except resume failure
+    mode, reference train.py:61-68). The loop's design makes exactness
+    cheap — the step rng is folded by global_step, crops are deterministic
+    in (seed, epoch, batch index), and a mid-epoch restore fast-forwards
+    the loader past already-trained batches — so the interrupted and
+    uninterrupted trajectories must produce identical checkpoints, down to
+    the last bit of every param and AdamW moment. k=3 with 4 batches/epoch
+    exercises the MID-epoch path (resume inside epoch 1, then epoch 2).
+    """
+
+    N, K = 6, 3
+
+    def _make_data(self, tmp_path):
+        import numpy as np2
+        from quickvc_tpu.data.audio_io import write_wav_int16
+
+        g = np2.random.default_rng(0)
+        paths = []
+        for i in range(4):
+            t = 16000 + i * 4000
+            wav = (0.2 * np2.sin(2 * np2.pi * 220 * (i + 1)
+                                 * np2.arange(t) / 16000)).astype(np2.float32)
+            p = tmp_path / f"utt{i}.wav"
+            write_wav_int16(str(p), wav, 16000)
+            np2.save(str(tmp_path / f"utt{i}.npy"),
+                     g.standard_normal((t // 320, 12)).astype(np2.float32))
+            paths.append(str(p))
+        lst = tmp_path / "train.txt"
+        lst.write_text("\n".join(paths) + "\n")
+        return str(lst)
+
+    def _cfg(self, lst, run_dir, **train_overrides):
+        import os
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_e2e import e2e_config
+
+        cfg = e2e_config(lst)
+        cfg.model.unit_channels = 12
+        cfg.model_dir = str(run_dir)
+        cfg.train.eval_interval = 0
+        cfg.train.batch_size = 8
+        for k, v in train_overrides.items():
+            setattr(cfg.train, k, v)
+        return cfg
+
+    def _final_state(self, cfg):
+        from quickvc_tpu.train.state import create_train_state
+        from quickvc_tpu.utils.checkpoint import CheckpointManager
+
+        state, _, _ = create_train_state(cfg, jax.random.PRNGKey(0))
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+        restored = CheckpointManager(cfg.model_dir).restore_latest(abstract)
+        assert restored is not None
+        return jax.device_get(restored[0]), restored[1]
+
+    def _run_pair(self, tmp_path, **overrides):
+        from quickvc_tpu.train.loop import run
+
+        lst = self._make_data(tmp_path)
+        cfg_a = self._cfg(lst, tmp_path / "straight", **overrides)
+        run(cfg_a, max_steps=self.N)
+        cfg_b = self._cfg(lst, tmp_path / "resumed", **overrides)
+        run(cfg_b, max_steps=self.K)
+        run(cfg_b, max_steps=self.N)  # picks up the step-K checkpoint
+        import os
+        log = open(os.path.join(cfg_b.model_dir, "train.log")).read()
+        assert f"Resumed from checkpoint at step {self.K}" in log
+        return cfg_a, cfg_b
+
+    def _assert_identical(self, cfg_a, cfg_b):
+        sa, step_a = self._final_state(cfg_a)
+        sb, step_b = self._final_state(cfg_b)
+        assert step_a == step_b == self.N
+        la, lb = jax.tree.leaves(sa), jax.tree.leaves(sb)
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_gspmd_mid_epoch_resume_bitexact(self, tmp_path):
+        self._assert_identical(*self._run_pair(tmp_path))
+
+    def test_zero1_mid_epoch_resume_bitexact(self, tmp_path):
+        """Same property on the ZeRO-1 sharded-optimizer layout."""
+        self._assert_identical(*self._run_pair(tmp_path,
+                                               zero_opt_state=True))
+
+    def test_warm_start_resume_bitexact(self, tmp_path):
+        """Warm start from a reference-layout .pth, interrupt, resume:
+        identical to the uninterrupted warm-started run."""
+        import numpy as np2
+        import torch
+
+        from quickvc_tpu.train.loop import run
+        from test_torch_port import synth_generator_sd
+
+        lst = self._make_data(tmp_path)
+        cfg_probe = self._cfg(lst, tmp_path / "probe")
+        sd = synth_generator_sd(np2.random.default_rng(3), cfg_probe.model,
+                                cfg_probe.spec_channels)
+        g_path = str(tmp_path / "G_synth.pth")
+        torch.save({"model": {k: torch.from_numpy(v) for k, v in sd.items()},
+                    "iteration": 1, "learning_rate": 2e-4, "optimizer": {}},
+                   g_path)
+
+        cfg_a = self._cfg(lst, tmp_path / "straight")
+        run(cfg_a, max_steps=self.N, init_torch=(g_path, None))
+        cfg_b = self._cfg(lst, tmp_path / "resumed")
+        run(cfg_b, max_steps=self.K, init_torch=(g_path, None))
+        run(cfg_b, max_steps=self.N, init_torch=(g_path, None))
+        self._assert_identical(cfg_a, cfg_b)
