@@ -74,6 +74,23 @@ class TrainConfig:
                                     # threshold alone still skips oversized-
                                     # loss updates (scalar checks only — no
                                     # per-leaf grad finiteness sums).
+    transfer: str = "full"          # host->device batch format:
+                                    # "full"    = f32 unit + precomputed f32
+                                    #             spec + f32 wave (reference-
+                                    #             parity data flow, ~160 MB
+                                    #             per b64 x 512f batch)
+                                    # "compact" = s16 wave crop with STFT
+                                    #             halo + unit in the step's
+                                    #             compute dtype; the linear
+                                    #             spec is recomputed on-device
+                                    #             (it is DERIVED data and 53%
+                                    #             of the batch bytes) — ~38 MB
+                                    #             per b64 batch at bf16, 4.2x
+                                    #             less H2D + no host spec
+                                    #             cache, numerics equal to
+                                    #             "full" at f32 rounding
+                                    #             (tests/test_train_step.py::
+                                    #             TestCompactTransfer)
     zero_opt_state: bool = False    # ZeRO-1: shard AdamW moments over the
                                     # data axis (parallel/mesh.py:
                                     # zero1_state_sharding) — n× less
@@ -101,6 +118,9 @@ class TrainConfig:
         if self.precision not in ("f32", "bf16"):
             raise ValueError(
                 f"precision={self.precision!r}: must be 'f32' or 'bf16'")
+        if self.transfer not in ("full", "compact"):
+            raise ValueError(
+                f"transfer={self.transfer!r}: must be 'full' or 'compact'")
         if self.loader_mode not in ("thread", "process"):
             raise ValueError(
                 f"loader_mode={self.loader_mode!r}: must be 'thread' or "

@@ -87,6 +87,14 @@ def _compute_spec(wav: np.ndarray, cfg: QuickVCConfig) -> np.ndarray:
     return np.sqrt((z.real**2 + z.imag**2 + 1e-6)).astype(np.float32)
 
 
+def _dtype_by_name(name: str) -> np.dtype:
+    """np.dtype from its ``.name`` — registering ml_dtypes first so
+    'bfloat16' resolves in spawn-started loader workers too."""
+    if name == "bfloat16":
+        import ml_dtypes  # noqa: F401  (registers the dtype with numpy)
+    return np.dtype(name)
+
+
 def _sibling(path: str, new_suffix: str) -> str:
     """Replace the final extension of ``path`` with ``new_suffix``.
 
@@ -101,8 +109,12 @@ class UnitAudioSpecDataset:
     """Per-utterance (unit, spec, wave) loader with on-disk spec cache."""
 
     def __init__(self, mode: str, cfg: QuickVCConfig, shuffle_seed: int = 1243,
-                 cache_specs: bool = True):
+                 cache_specs: bool = True, with_spec: bool = True):
         self.cfg = cfg
+        # with_spec=False: compact transfer mode — the training loader never
+        # needs the host spectrogram (it is recomputed on-device from the
+        # s16 wave), so items skip the STFT + spec cache entirely.
+        self.with_spec = with_spec
         list_path = cfg.data.training_files if mode == "train" else cfg.data.validation_files
         self.audiopaths = load_filepaths(list_path, mode)
         rng = np.random.default_rng(shuffle_seed)
@@ -148,6 +160,11 @@ class UnitAudioSpecDataset:
         wav, sr = read_audio(path)  # WAV via scipy/native; FLAC via native
         assert sr == self.cfg.data.sampling_rate, \
             f"{sr} != configured {self.cfg.data.sampling_rate} for {path}"
+
+        if not self.with_spec:
+            unit = np.load(_sibling(path, ".npy")).astype(np.float32,
+                                                          copy=False)
+            return {"unit": unit, "wave": wav[:, None]}
 
         spec_path = _sibling(path, self.spec_suffix)
         if self.cache_specs and os.path.exists(spec_path):
@@ -236,15 +253,42 @@ class BucketSampler:
                    for n in self.num_samples_per_bucket)
 
 
+def _unit_dtype(cfg: QuickVCConfig):
+    """Compact-mode unit wire dtype == the step's compute dtype.
+
+    The jitted step casts ``unit`` to bf16 before the generator forward
+    whenever ``train.precision='bf16'`` (train/step.py g_forward), so
+    shipping bf16 over the link is lossless w.r.t. what the model consumes
+    — and halves the unit bytes.
+    """
+    if cfg.train.transfer == "compact" and cfg.train.precision == "bf16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(np.float32)
+
+
 def collate_shapes(batch: int, bucket_lo: int,
-                   cfg: QuickVCConfig) -> dict[str, tuple[int, ...]]:
-    """Assembly-buffer shapes for a bucket's batches (pre-crop; the yielded
-    arrays drop the trailing frame)."""
+                   cfg: QuickVCConfig) -> dict[str, tuple]:
+    """Assembly-buffer (shape, dtype) specs for a bucket's batches
+    (pre-crop; the yielded arrays drop the trailing frame)."""
     seg = min(bucket_lo + 1, cfg.train.max_speclen + 1)
+    hop = cfg.data.hop_length
+    if cfg.train.transfer == "compact":
+        pad = (cfg.data.filter_length - hop) // 2
+        # wave_s16 carries L = seg-1 frames of samples + the STFT halo;
+        # the trailing-frame drop is applied at assembly (no post-crop).
+        return {
+            "unit": ((batch, seg, cfg.model.unit_channels), _unit_dtype(cfg)),
+            "wave_s16": ((batch, (seg - 1) * hop + 2 * pad),
+                         np.dtype(np.int16)),
+            "n_take": ((batch,), np.dtype(np.int32)),
+        }
+    f32 = np.dtype(np.float32)
     return {
-        "unit": (batch, seg, cfg.model.unit_channels),
-        "spec": (batch, seg, cfg.spec_channels),
-        "wave": (batch, seg * cfg.data.hop_length, 1),
+        "unit": ((batch, seg, cfg.model.unit_channels), f32),
+        "spec": ((batch, seg, cfg.spec_channels), f32),
+        "wave": ((batch, seg * hop, 1), f32),
     }
 
 
@@ -253,10 +297,24 @@ def collate_batch(items: list[dict[str, np.ndarray]], bucket_lo: int,
                   out: dict[str, np.ndarray] | None = None) -> dict[str, np.ndarray]:
     """Pad + random common-length crop to the bucket's static shape.
 
-    Returns unit (B, L, 256), spec (B, L, Freq), wave (B, L*hop, 1) with
-    L = min(bucket_lo, max_speclen) fixed per bucket. ``out`` (shapes from
-    :func:`collate_shapes`) lets process workers assemble straight into
-    shared memory — no extra copy on either side.
+    ``transfer='full'``: unit (B, L, 256) f32, spec (B, L, Freq) f32,
+    wave (B, L*hop, 1) f32, with L = min(bucket_lo, max_speclen) fixed per
+    bucket.
+
+    ``transfer='compact'``: unit (B, L, 256) in the step's compute dtype,
+    wave_s16 (B, L*hop + 2*pad) int16 — the raw PCM crop with the STFT
+    halo taken from the reflect-padded utterance, so the on-device
+    spectrogram sees exactly the context the host path would have — and
+    n_take (B,) valid-frame counts (the step masks spec/wave past them,
+    reproducing the full path's zero tails). ~4.2x fewer H2D bytes; the
+    s16 payload is bit-exact (the corpus is s16 PCM).
+
+    The crop draw (one rng.integers per item, same order) is IDENTICAL in
+    both modes, so a (seed, epoch, batch index) triple selects the same
+    audio regardless of the transfer format.
+
+    ``out`` (buffers per :func:`collate_shapes`) lets process workers
+    assemble straight into shared memory — no extra copy on either side.
     """
     hop = cfg.data.hop_length
     order = np.argsort([-it["unit"].shape[0] for it in items])
@@ -264,19 +322,36 @@ def collate_batch(items: list[dict[str, np.ndarray]], bucket_lo: int,
 
     seg = min(bucket_lo + 1, cfg.train.max_speclen + 1)
     b = len(items)
-    unit_dim = items[0]["unit"].shape[1]
-    freq = items[0]["spec"].shape[1]
     # empty + explicit pad-tail zeroing: most rows are fully overwritten
     # (bucketed lengths >= the crop), so np.zeros would double the memory
     # traffic of the assembly (~128 MB/batch at batch 64)
     if out is None:
-        out = {
-            "unit": np.empty((b, seg, unit_dim), np.float32),
-            "spec": np.empty((b, seg, freq), np.float32),
-            "wave": np.empty((b, seg * hop, 1), np.float32),
-        }
-    out_unit, out_spec, out_wave = out["unit"], out["spec"], out["wave"]
+        out = {k: np.empty(shape, dtype)
+               for k, (shape, dtype) in collate_shapes(b, bucket_lo, cfg).items()}
 
+    if cfg.train.transfer == "compact":
+        pad = (cfg.data.filter_length - hop) // 2
+        L = seg - 1
+        out_unit, out_w16, out_take = out["unit"], out["wave_s16"], out["n_take"]
+        for i, it in enumerate(items):
+            n_frames = min(it["unit"].shape[0], it["wave"].shape[0] // hop)
+            max_start = max(n_frames - seg, 0)
+            start = int(rng.integers(0, max_start + 1))
+            take = min(L, min(seg, n_frames))  # valid frames after trail-drop
+            out_unit[i, :take] = it["unit"][start : start + take]
+            if take < seg:
+                out_unit[i, take:] = 0.0
+            # s16 round-trip is exact: the f32 samples came from int16/32768
+            w16 = np.pad((it["wave"][:, 0] * 32768.0).astype(np.int16),
+                         (pad, pad), mode="reflect")
+            halo_len = take * hop + 2 * pad
+            out_w16[i, :halo_len] = w16[start * hop : start * hop + halo_len]
+            out_w16[i, halo_len:] = 0
+            out_take[i] = take
+        return {"unit": out_unit[:, :-1], "wave_s16": out_w16,
+                "n_take": out_take}
+
+    out_unit, out_spec, out_wave = out["unit"], out["spec"], out["wave"]
     for i, it in enumerate(items):
         n_frames = min(it["unit"].shape[0], it["spec"].shape[0],
                        it["wave"].shape[0] // hop)
@@ -467,11 +542,11 @@ class DataLoader:
                 shm_name, metas = pending.pop(nxt_yield)
                 shm = shared_memory.SharedMemory(name=shm_name)
                 out, off = {}, 0
-                for key, shape in metas:
-                    n = int(np.prod(shape)) * 4
-                    out[key] = np.ndarray(shape, np.float32,
+                for key, shape, dname in metas:
+                    dt = _dtype_by_name(dname)
+                    out[key] = np.ndarray(shape, dt,
                                           buffer=shm.buf, offset=off)
-                    off += n
+                    off += int(np.prod(shape)) * dt.itemsize
                 window.append(shm)
                 while len(window) > keep:
                     old = window.popleft()
@@ -493,7 +568,10 @@ def _crop_trailing(full: dict[str, np.ndarray],
                    cfg: QuickVCConfig) -> dict[str, np.ndarray]:
     """Drop the trailing frame (reference data_utils_new_new.py:210-213) —
     shared by collate_batch and the process-mode parent so both yield the
-    same shapes."""
+    same shapes. Compact buffers are already sized post-drop except unit."""
+    if cfg.train.transfer == "compact":
+        return {"unit": full["unit"][:, :-1], "wave_s16": full["wave_s16"],
+                "n_take": full["n_take"]}
     return {
         "unit": full["unit"][:, :-1],
         "spec": full["spec"][:, :-1],
@@ -519,14 +597,16 @@ def _process_worker_main(task_q, result_q, dataset, cfg, seed) -> None:
         try:
             items = [dataset[i] for i in idxs]
             shapes = collate_shapes(len(idxs), bucket_lo, cfg)
-            metas = [(k, shapes[k]) for k in ("unit", "spec", "wave")]
-            total = sum(int(np.prod(s)) * 4 for _, s in metas)
+            metas = [(k, shape, dtype.name)
+                     for k, (shape, dtype) in shapes.items()]
+            total = sum(int(np.prod(s)) * _dtype_by_name(d).itemsize
+                        for _, s, d in metas)
             shm = shared_memory.SharedMemory(create=True, size=total)
             out, off = {}, 0
-            for key, shape in metas:
-                out[key] = np.ndarray(shape, np.float32,
-                                      buffer=shm.buf, offset=off)
-                off += int(np.prod(shape)) * 4
+            for key, shape, dname in metas:
+                dt = _dtype_by_name(dname)
+                out[key] = np.ndarray(shape, dt, buffer=shm.buf, offset=off)
+                off += int(np.prod(shape)) * dt.itemsize
             rng = np.random.default_rng((seed, epoch, batch_index))
             collate_batch(items, bucket_lo, cfg, rng, out=out)
             name = shm.name

@@ -113,6 +113,40 @@ def wave_to_spec(
     return jnp.sqrt(power + 1e-6)
 
 
+def wave_to_spec_halo(
+    y: jax.Array,
+    n_fft: int,
+    hop_size: int,
+    win_size: int,
+    *,
+    method: str = "matmul",
+) -> jax.Array:
+    """:func:`wave_to_spec` for a signal that ALREADY carries the
+    ``(n_fft-hop)/2`` halo on both ends: (..., T + 2*pad) -> (..., T//hop, Freq).
+
+    Compact transfer mode (``train.transfer='compact'``) ships the raw s16
+    waveform crop with this halo instead of the precomputed spectrogram —
+    the spec is 53% of the training batch's bytes and is derived data; the
+    halo makes the on-device framing see exactly the samples the host
+    reference path (data/dataset.py:_compute_spec over the full utterance,
+    then frame-crop) would have used, so interior crops match to f32
+    rounding.
+    """
+    frames = _frame(y, n_fft, hop_size)
+    cos_m, sin_m = _dft_matrices(n_fft, win_size)
+    if method == "fft":
+        w = np.zeros(n_fft, np.float32)
+        off = (n_fft - win_size) // 2
+        w[off : off + win_size] = hann_window(win_size)
+        z = jnp.fft.rfft(frames * jnp.asarray(w), axis=-1)
+        power = jnp.real(z) ** 2 + jnp.imag(z) ** 2
+    else:
+        re = jnp.matmul(frames, jnp.asarray(cos_m), precision=_HI)
+        im = jnp.matmul(frames, jnp.asarray(sin_m), precision=_HI)
+        power = re * re + im * im
+    return jnp.sqrt(power + 1e-6)
+
+
 def spec_to_mel(
     spec: jax.Array,
     mel_basis: jax.Array,

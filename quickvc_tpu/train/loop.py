@@ -61,8 +61,11 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
     writer = Summarizer(cfg.model_dir) if pid == 0 else None
     writer_eval = Summarizer(cfg.model_dir + "/eval") if pid == 0 else None
 
-    # Data
-    train_ds = UnitAudioSpecDataset("train", cfg)
+    # Data. Compact transfer: the training loader ships s16 wave + units
+    # and never touches the host spectrogram path (recomputed on-device in
+    # the step); eval keeps host specs for its reference-parity metrics.
+    train_ds = UnitAudioSpecDataset("train", cfg,
+                                    with_spec=cfg.train.transfer != "compact")
     eval_ds = UnitAudioSpecDataset("eval", cfg)
     sampler = BucketSampler(train_ds.lengths, cfg.train.batch_size, BUCKET_BOUNDARIES,
                             shuffle=True, num_replicas=n_proc, rank=pid)

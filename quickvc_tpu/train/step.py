@@ -30,7 +30,7 @@ import optax
 
 from quickvc_tpu.config import QuickVCConfig
 from quickvc_tpu.dsp.pqmf import PQMFBank
-from quickvc_tpu.dsp.stft import spec_to_mel, wave_to_mel
+from quickvc_tpu.dsp.stft import spec_to_mel, wave_to_mel, wave_to_spec_halo
 from quickvc_tpu.losses import (
     discriminator_loss,
     feature_loss,
@@ -130,7 +130,29 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
                            rngs=rngs)
 
     def train_step(state: TrainState, batch: dict[str, jax.Array], rng: jax.Array):
-        unit, spec, y = batch["unit"], batch["spec"], batch["wave"]
+        if cfg.train.transfer == "compact":
+            # Reconstruct the full-mode (unit, spec, wave) on-device from
+            # the compact wire format (data/dataset.py collate_batch):
+            # s16 PCM /32768 is the exact f32 the host would have sent;
+            # the halo'd valid framing sees the same samples the host STFT
+            # saw; frames/samples past n_take are masked to the full
+            # path's zero tails. Costs ~2 ms of MXU DFT per step, saves
+            # ~120 MB of H2D per b64 batch.
+            unit = batch["unit"]
+            pad = (cfg.data.filter_length - hop) // 2
+            wf = batch["wave_s16"].astype(jnp.float32) / 32768.0
+            frames_l = unit.shape[1]
+            spec = wave_to_spec_halo(wf, cfg.data.filter_length, hop,
+                                     cfg.data.win_length)
+            fmask = (jnp.arange(frames_l)[None, :]
+                     < batch["n_take"][:, None])
+            spec = spec * fmask[..., None]
+            y = wf[:, pad:-pad, None]
+            smask = (jnp.arange(frames_l * hop)[None, :]
+                     < batch["n_take"][:, None] * hop)
+            y = y * smask[..., None]
+        else:
+            unit, spec, y = batch["unit"], batch["spec"], batch["wave"]
         rng_sample, rng_slice = jax.random.split(rng)
         rngs = {"sample": rng_sample, "slice": rng_slice}
 

@@ -398,3 +398,57 @@ def test_process_loader_exception_propagates(synth_dataset):
             list(loader)
     finally:
         loader.close()
+
+
+def test_pipeline_trains_compact_transfer(synth_dataset, tmp_path):
+    """run() end-to-end with transfer='compact': loader ships s16 wave +
+    halo + units, the step reconstructs spec on device; losses finite,
+    checkpoints written, and no host spec cache is built for training."""
+    import dataclasses
+    import glob
+
+    from quickvc_tpu.train.loop import run
+
+    cfg = e2e_config(synth_dataset)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, transfer="compact",
+                                       eval_interval=0, batch_size=8))
+    cfg.model_dir = str(tmp_path / "compact_run")
+    run(cfg, max_steps=2)
+    assert os.path.isdir(os.path.join(cfg.model_dir, "checkpoints"))
+    log = open(os.path.join(cfg.model_dir, "train.log")).read()
+    assert "step 0" in log and "nan" not in log
+    # compact training never computes host spectrograms
+    data_dir = os.path.dirname(synth_dataset)
+    assert not glob.glob(os.path.join(data_dir, "*.spec-*.npy"))
+
+
+def test_process_loader_matches_thread_loader_compact(synth_dataset):
+    """Process-mode shm protocol with mixed dtypes (bf16 unit, s16 wave,
+    i32 counts) yields batches bit-identical to the thread path."""
+    import dataclasses
+
+    cfg = e2e_config(synth_dataset)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, transfer="compact",
+                                       precision="bf16"))
+    ds = UnitAudioSpecDataset("train", cfg, with_spec=False)
+    sampler = BucketSampler(ds.lengths, cfg.train.batch_size,
+                            [32, 40, 50, 60, 70, 80, 90, 100], shuffle=True)
+    thread_loader = DataLoader(ds, sampler, cfg, num_workers=2, seed=7)
+    proc_loader = DataLoader(ds, sampler, cfg, num_workers=2, seed=7,
+                             mode="process")
+    try:
+        sampler.set_epoch(0)
+        a = list(thread_loader)
+        b = [{k: v.copy() for k, v in batch.items()} for batch in proc_loader]
+        assert len(a) == len(b) == len(sampler)
+        for x, y in zip(a, b):
+            assert set(x) == {"unit", "wave_s16", "n_take"}
+            for k in x:
+                assert x[k].dtype == y[k].dtype
+                np.testing.assert_array_equal(
+                    np.asarray(x[k]).view(np.uint8),
+                    np.asarray(y[k]).view(np.uint8))
+    finally:
+        proc_loader.close()

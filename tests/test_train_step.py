@@ -711,3 +711,115 @@ class TestResumeTrajectory:
         run(cfg_b, max_steps=self.K, init_torch=(g_path, None))
         run(cfg_b, max_steps=self.N, init_torch=(g_path, None))
         self._assert_identical(cfg_a, cfg_b)
+
+
+class TestCompactTransfer:
+    """transfer='compact' (s16 wave + halo, on-device spec) must reproduce
+    the full-mode step: same crops, same wave bits, spec to host/device
+    STFT rounding (~3e-4, test_dsp.py parity), losses to matching tolerance.
+    """
+
+    def _items(self, cfg, rng, n_frames=40):
+        from quickvc_tpu.data.dataset import _compute_spec
+
+        items = []
+        for _ in range(2):
+            n = n_frames * cfg.data.hop_length
+            # s16-quantized, like every file the pipeline reads
+            w16 = (rng.standard_normal(n) * 8000).astype(np.int16)
+            wav = w16.astype(np.float32) / 32768.0
+            items.append({
+                "unit": rng.standard_normal(
+                    (n_frames, cfg.model.unit_channels)).astype(np.float32),
+                "spec": _compute_spec(wav, cfg),
+                "wave": wav[:, None],
+            })
+        return items
+
+    def _collate_pair(self, rng):
+        import dataclasses
+
+        from quickvc_tpu.data.dataset import collate_batch
+
+        cfg_full = tiny_config()
+        cfg_compact = dataclasses.replace(
+            cfg_full, train=dataclasses.replace(cfg_full.train,
+                                                transfer="compact"))
+        items = self._items(cfg_full, rng)
+        full = collate_batch([{k: v.copy() for k, v in it.items()}
+                              for it in items], 32, cfg_full,
+                             np.random.default_rng(7))
+        compact = collate_batch(
+            [{k: v for k, v in it.items() if k != "spec"} for it in items],
+            32, cfg_compact, np.random.default_rng(7))
+        return cfg_full, cfg_compact, full, compact
+
+    def test_collate_equivalence(self, rng):
+        cfg_full, cfg_compact, full, compact = self._collate_pair(rng)
+        hop = cfg_full.data.hop_length
+        pad = (cfg_full.data.filter_length - hop) // 2
+        # same crop draw -> identical unit content
+        np.testing.assert_array_equal(full["unit"],
+                                      np.asarray(compact["unit"], np.float32))
+        # wave reconstructs BIT-exactly from the s16 wire format
+        wf = compact["wave_s16"].astype(np.float32) / 32768.0
+        wave = wf[:, pad:-pad, None]
+        L = full["unit"].shape[1]
+        smask = (np.arange(L * hop)[None, :]
+                 < compact["n_take"][:, None] * hop)
+        np.testing.assert_array_equal(full["wave"], wave * smask[..., None])
+        # on-device spec from the halo == the host cached spec (STFT rounding)
+        import jax
+        from quickvc_tpu.dsp.stft import wave_to_spec_halo
+        spec = np.asarray(jax.jit(
+            lambda w: wave_to_spec_halo(w, cfg_full.data.filter_length, hop,
+                                        cfg_full.data.win_length))(wf))
+        fmask = (np.arange(L)[None, :] < compact["n_take"][:, None])
+        np.testing.assert_allclose(full["spec"], spec * fmask[..., None],
+                                   atol=3e-4, rtol=3e-4)
+
+    def test_step_equivalence(self, rng):
+        cfg_full, cfg_compact, full, compact = self._collate_pair(rng)
+        state, net_g, net_d = create_train_state(cfg_full, jax.random.PRNGKey(0))
+        basis = jnp.asarray(mel_filterbank(
+            cfg_full.data.sampling_rate, cfg_full.data.filter_length,
+            cfg_full.data.n_mel_channels))
+        step_f = jax.jit(make_train_step(cfg_full, net_g, net_d, basis))
+        step_c = jax.jit(make_train_step(cfg_compact, net_g, net_d, basis))
+        key = jax.random.PRNGKey(5)
+        host = jax.device_get(state)
+        sf, mf = step_f(jax.device_put(host),
+                        {k: jnp.asarray(v) for k, v in full.items()}, key)
+        sc, mc = step_c(jax.device_put(host),
+                        {k: jnp.asarray(v) for k, v in compact.items()}, key)
+        for k in ("loss/g/total", "loss/d/total", "loss/g/mel", "loss/g/kl"):
+            np.testing.assert_allclose(float(mf[k]), float(mc[k]),
+                                       rtol=5e-3, atol=1e-3), k
+        # params move together (same crops, same rng draws)
+        da = jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), sf.g_params, sc.g_params))
+        assert max(da) < 2.5 * cfg_full.train.learning_rate
+
+    def test_unit_wire_dtype_bf16(self, rng):
+        """precision=bf16 + compact ships units in bf16 — exactly the dtype
+        the step's g_forward casts to, so the wire is lossless."""
+        import dataclasses
+        import ml_dtypes
+
+        from quickvc_tpu.data.dataset import collate_batch
+
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, transfer="compact",
+                                           precision="bf16"))
+        items = self._items(cfg, rng)
+        out = collate_batch(
+            [{k: v for k, v in it.items() if k != "spec"} for it in items],
+            32, cfg, np.random.default_rng(7))
+        assert out["unit"].dtype == np.dtype(ml_dtypes.bfloat16)
+        # replicate the crop draw: stable sort keeps item order; one
+        # integers() call per item, seg=33 over 40 frames -> start in [0,8)
+        rng2 = np.random.default_rng(7)
+        start0 = int(rng2.integers(0, 40 - 33 + 1))
+        ref = items[0]["unit"][start0 : start0 + 32].astype(ml_dtypes.bfloat16)
+        np.testing.assert_array_equal(np.asarray(out["unit"][0]), ref)
