@@ -242,6 +242,30 @@ def main():
     key = jax.random.PRNGKey(cfg.train.seed)
     nb = max(1, args.batch)
     writes: list = []
+
+    def flush(audio_dev, chunk, t0):
+        """Fetch one batch's audio, crop, hand wavs to the writer pool."""
+        audio = np.asarray(audio_dev, dtype=np.float32)
+        dt = time.time() - t0
+        for i, it in enumerate(chunk):
+            out = audio[i, :, 0]
+            if bucket:
+                out = out[: it["n_frames"] * hop]
+            name = (f"{time.strftime('%m-%d_%H-%M')}_{it['title']}.wav"
+                    if args.use_timestamp else f"{it['title']}.wav")
+            # wav writes overlap the next batch's device compute
+            writes.append(host_pool.submit(
+                write_wav, os.path.join(args.outdir, name), out, sr))
+            print(f"{it['title']}: {len(out) / sr:.2f}s audio "
+                  f"({len(chunk)}-pair batch in {dt:.2f}s)")
+
+    # Double-buffered dispatch: batch k+1's H2D + HuBERT + infer are
+    # ISSUED (async jax dispatch) before batch k's audio is fetched, so
+    # transfer/execute/fetch round-trips pipeline instead of serializing.
+    # Measured necessary on the remote tunnel: with host prep parallelized
+    # the per-batch wall was round-trip-floored at ~4.7 s, nearly
+    # independent of audio length (BENCH.md "CLI economics").
+    pending = None
     for length in sorted(groups):
         group = groups[length]
         for lo in range(0, len(group), nb):
@@ -254,20 +278,12 @@ def main():
                 + [g_cache[chunk[-1]["tgt"]]] * (nb - len(chunk)), axis=0)
             unit = units_fn(h_params, jnp.asarray(src_batch))
             key, sub = jax.random.split(key)
-            audio = np.asarray(infer_fn(g_params, unit, g_batch, sub),
-                               dtype=np.float32)
-            dt = time.time() - t0
-            for i, it in enumerate(chunk):
-                out = audio[i, :, 0]
-                if bucket:
-                    out = out[: it["n_frames"] * hop]
-                name = (f"{time.strftime('%m-%d_%H-%M')}_{it['title']}.wav"
-                        if args.use_timestamp else f"{it['title']}.wav")
-                # wav writes overlap the next batch's device compute
-                writes.append(host_pool.submit(
-                    write_wav, os.path.join(args.outdir, name), out, sr))
-                print(f"{it['title']}: {len(out) / sr:.2f}s audio "
-                      f"({len(chunk)}-pair batch in {dt:.2f}s)")
+            audio_dev = infer_fn(g_params, unit, g_batch, sub)
+            if pending is not None:
+                flush(*pending)
+            pending = (audio_dev, chunk, t0)
+    if pending is not None:
+        flush(*pending)
     for w in writes:
         w.result()  # surface any write error before the summary line
     host_pool.shutdown()

@@ -74,6 +74,12 @@ class TrainConfig:
                                     # threshold alone still skips oversized-
                                     # loss updates (scalar checks only — no
                                     # per-leaf grad finiteness sums).
+    prefetch_batches: int = 2       # device batches kept in flight ahead
+                                    # of the running step (train/loop.py
+                                    # device_batches); 1 = classic double
+                                    # buffering, more smooths jittery
+                                    # loaders/links at one resident batch
+                                    # of HBM each
     transfer: str = "full"          # host->device batch format:
                                     # "full"    = f32 unit + precomputed f32
                                     #             spec + f32 wave (reference-

@@ -163,15 +163,24 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
 
         Each host loads its rank's slice of the global batch (the sampler
         shards per rank); ``_place`` assembles the globally-sharded array.
+        ``train.prefetch_batches`` device batches stay in flight — the
+        issued transfers stream while the current step runs. Depth beyond
+        1 only helps when transfers are jittery rather than
+        bandwidth-bound (measured: on the ~40 MB/s axon tunnel wall =
+        max(step, H2D) at any depth; on a PCIe-attached host depth 2
+        smooths loader hiccups at the cost of one extra resident batch).
         """
-        pending = None
+        from collections import deque
+
+        depth = max(1, cfg.train.prefetch_batches)
+        pending: deque = deque()
         for host_batch in host_iter:
-            nxt = _place({k: np.asarray(v) for k, v in host_batch.items()}, bsh)
-            if pending is not None:
-                yield pending
-            pending = nxt
-        if pending is not None:
-            yield pending
+            pending.append(_place({k: np.asarray(v) for k, v in host_batch.items()},
+                                  bsh))
+            if len(pending) > depth:
+                yield pending.popleft()
+        while pending:
+            yield pending.popleft()
 
     profiling = False
     for epoch in range(epoch0, cfg.train.epochs + 1):
