@@ -74,6 +74,14 @@ class TrainConfig:
                                     # threshold alone still skips oversized-
                                     # loss updates (scalar checks only — no
                                     # per-leaf grad finiteness sums).
+    split_prior: bool = False       # run enc_p in its own vjp AFTER the D
+                                    # update (it feeds only the KL loss):
+                                    # at n>1 its compute can hide under the
+                                    # D-phase gradient all-reduce. Perf
+                                    # experiment (BENCH.md); rng stream
+                                    # differs from the monolithic layout,
+                                    # so trajectories are equal in
+                                    # distribution, not bitwise
     prefetch_batches: int = 2       # device batches kept in flight ahead
                                     # of the running step (train/loop.py
                                     # device_batches); 1 = classic double

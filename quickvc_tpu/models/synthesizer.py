@@ -58,6 +58,32 @@ class SynthesizerTrn(nn.Module):
         o, o_mb = self.dec(z_slice, g)
         return o, o_mb, ids_slice, (z, z_p, m_p, logs_p, m_q, logs_q)
 
+    def forward_posterior(self, spec: jax.Array, mel: jax.Array):
+        """Training forward WITHOUT the prior encoder (split-prior step).
+
+        Everything the D phase consumes: speaker embed, posterior sample,
+        flow, sliced decode. The prior runs separately via
+        :meth:`prior_stats` so the step can schedule its compute after the
+        D update — at n>1 chips it then sits inside the D-phase gradient
+        all-reduce window (train/step.py ``split_prior``). Note the
+        'sample' rng stream differs from ``__call__`` (enc_p's discarded
+        draw is skipped), so the two step layouts are equal in
+        distribution, not bitwise.
+        """
+        g_vec = self.enc_spk(mel)
+        g = g_vec[:, None, :]
+        z, m_q, logs_q = self.enc_q(spec, g)
+        z_p = self.flow(z, g)
+        z_slice, ids_slice = rand_slice_segments(
+            self.make_rng("slice"), z, self.segment_size)
+        o, o_mb = self.dec(z_slice, g)
+        return o, o_mb, ids_slice, (z, z_p, m_q, logs_q)
+
+    def prior_stats(self, unit: jax.Array):
+        """Prior encoder stats only: unit -> (m_p, logs_p)."""
+        _, m_p, logs_p = self.enc_p(unit)
+        return m_p, logs_p
+
     def infer(self, unit: jax.Array, g_vec: jax.Array, noise_scale: float = 1.0) -> jax.Array:
         """Inference from units + precomputed speaker embedding (B, gin).
 

@@ -44,6 +44,11 @@ def _fwd_kernel(x_ref, k_ref, b_ref, out_ref, *, rows, slope):
     # Mosaic's sublane rotate is 32-bit only ("Rotate with non-32-bit data"
     # on real TPU; interpret mode accepts bf16) — roll an f32 view and
     # downcast at the matmul input, which is lossless for bf16.
+    # VMEM note (ADVICE r3): this f32 view doubles the halo'd block's VMEM
+    # footprint in the fwd and dW kernels. Irrelevant while the op stays
+    # off the training path (it LOST the A/B, BENCH.md "disc backward");
+    # if ever enabled at larger rows/channel tiles, re-budget tile sizes
+    # for the extra copy or restrict the upcast to bf16 inputs.
     x32 = x.astype(jnp.float32)
     acc = jnp.zeros(out_ref.shape[1:], jnp.float32)  # (rows_pad, c_out_t)
     for dr in range(K5):

@@ -124,6 +124,8 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
     use_subband_loss = cfg.model.mb_istft_vits
     pqmf = PQMFBank(cfg.model.subbands) if use_subband_loss else None
 
+    split_prior = getattr(cfg.train, "split_prior", False)
+
     def g_forward(g_params, unit, spec, mel, rngs):
         return net_g.apply({"params": g_params}, unit.astype(compute_dtype),
                            spec.astype(compute_dtype), mel.astype(compute_dtype),
@@ -153,7 +155,7 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
             y = y * smask[..., None]
         else:
             unit, spec, y = batch["unit"], batch["spec"], batch["wave"]
-        rng_sample, rng_slice = jax.random.split(rng)
+        rng_sample, rng_slice, rng_prior = jax.random.split(rng, 3)
         rngs = {"sample": rng_sample, "slice": rng_slice}
 
         mel = spec_to_mel(spec, mel_basis)
@@ -161,8 +163,20 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
         # ---- Generator forward, ONCE, with saved residuals (jax.vjp) ----
         # Differentiable outputs (f32) are primal outputs; the integer slice
         # ids ride along as aux so no cotangent is needed for them.
+        # ``split_prior``: enc_p feeds ONLY the KL loss, not the D phase —
+        # its forward can therefore run in its own vjp placed after the D
+        # update, where at n>1 chips XLA's latency-hiding scheduler may
+        # overlap its ~6 ms of compute with the D-phase 187 MB gradient
+        # all-reduce (VERDICT r3 item 8). Single-chip A/B in BENCH.md.
         def g_fwd_fn(g_params):
-            o, o_mb, ids, latents = g_forward(g_params, unit, spec, mel, rngs)
+            if split_prior:
+                o, o_mb, ids, latents = net_g.apply(
+                    {"params": g_params}, spec.astype(compute_dtype),
+                    mel.astype(compute_dtype), rngs=rngs,
+                    method="forward_posterior")
+            else:
+                o, o_mb, ids, latents = g_forward(g_params, unit, spec, mel,
+                                                  rngs)
             o = o.astype(jnp.float32)
             o_mb = None if o_mb is None else o_mb.astype(jnp.float32)
             latents = tuple(t.astype(jnp.float32) for t in latents)
@@ -210,9 +224,25 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
         # Loss as a function of the generator *outputs*; its cotangents are
         # pulled back through the saved forward residuals (g_vjp) — no
         # second generator forward.
+        if split_prior:
+            # Prior forward AFTER the D update in program order: no data
+            # dependence on d_params, so at n>1 it is free to overlap the
+            # D-phase gradient all-reduce.
+            def p_fwd_fn(g_params):
+                m_p, logs_p = net_g.apply(
+                    {"params": g_params}, unit.astype(compute_dtype),
+                    rngs={"sample": rng_prior}, method="prior_stats")
+                return (m_p.astype(jnp.float32), logs_p.astype(jnp.float32))
+
+            prior_out, p_vjp = jax.vjp(p_fwd_fn, state.g_params)
+
         def g_loss_fn(outs):
-            y_hat2, y_hat_mb2, latents2 = outs
-            z, z_p, m_p, logs_p, m_q, logs_q = latents2
+            if split_prior:
+                (y_hat2, y_hat_mb2, (z, z_p, m_q, logs_q)), \
+                    (m_p, logs_p) = outs
+            else:
+                y_hat2, y_hat_mb2, latents2 = outs
+                z, z_p, m_p, logs_p, m_q, logs_q = latents2
             # pair=False: only the fake half is differentiated here; a
             # batched pass would pull cotangents through the real half too
             # (+8 ms, scripts/disc_pair_ab.py).
@@ -252,9 +282,17 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
                    "img/mel_org": jax.lax.stop_gradient(y_mel[0])}
             return total, aux
 
-        (loss_g_total, g_aux), out_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)((y_hat, y_hat_mb, latents))
-        (g_grads,) = g_vjp(out_grads)
+        if split_prior:
+            (loss_g_total, g_aux), (og_q, og_p) = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(
+                    ((y_hat, y_hat_mb, latents), prior_out))
+            (g_grads_q,) = g_vjp(og_q)
+            (g_grads_p,) = p_vjp(og_p)
+            g_grads = jax.tree.map(jnp.add, g_grads_q, g_grads_p)
+        else:
+            (loss_g_total, g_aux), out_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)((y_hat, y_hat_mb, latents))
+            (g_grads,) = g_vjp(out_grads)
         if grad_reduce is not None:
             g_grads = grad_reduce(g_grads)
         if scalar_reduce is not None:

@@ -34,6 +34,9 @@ def main():
     parser.add_argument("--precision", choices=["f32", "bf16"], default="f32")
     parser.add_argument("--no-guard", action="store_true",
                         help="disable the non-finite update guard (A/B its cost)")
+    parser.add_argument("--split-prior", action="store_true",
+                        help="enc_p in its own vjp after the D update "
+                             "(train.split_prior A/B)")
     args = parser.parse_args()
 
     import jax
@@ -48,6 +51,8 @@ def main():
     cfg.train.precision = args.precision
     if args.no_guard:
         cfg.train.guard_nonfinite = False
+    if args.split_prior:
+        cfg.train.split_prior = True
     if args.small:
         cfg.train.segment_size = 2560
         cfg.train.disc_width = 0.25
