@@ -72,31 +72,41 @@ def install_static_shims() -> None:
     if not hasattr(scipy.signal, "kaiser"):
         scipy.signal.kaiser = lambda m, beta: np.kaiser(m, beta)
 
-    if "librosa" not in sys.modules:
-        from quickvc_tpu.data.audio_io import read_wav, resample, trim_silence
-        from quickvc_tpu.dsp.mel import mel_filterbank
+    # Idempotent: another test may have installed a PARTIAL librosa stub
+    # first (test_grad_parity.py stubs only filters.mel) — top up whatever
+    # attributes the reference CLIs touch rather than skipping wholesale
+    # (order-dependent AttributeError('load') otherwise).
+    from quickvc_tpu.data.audio_io import read_wav, resample, trim_silence
+    from quickvc_tpu.dsp.mel import mel_filterbank
 
+    lib = sys.modules.get("librosa")
+    if lib is None:
         lib = types.ModuleType("librosa")
-        effects = types.ModuleType("librosa.effects")
-        filters = types.ModuleType("librosa.filters")
-        for m, name in ((lib, "librosa"), (effects, "librosa.effects"),
-                        (filters, "librosa.filters")):
-            m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-
-        def _load(path, sr=None, **_k):
-            wav, fsr = read_wav(path)
-            if sr is not None and fsr != sr:
-                wav, fsr = resample(wav, fsr, sr), sr
-            return wav.astype(np.float32), fsr
-
-        lib.load = _load
-        effects.trim = lambda y, top_db=60, **_k: trim_silence(y, top_db=top_db)
-        filters.mel = lambda *, sr, n_fft, n_mels, fmin=0.0, fmax=None: (
-            mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
-        lib.effects, lib.filters = effects, filters
+        lib.__spec__ = importlib.machinery.ModuleSpec("librosa", None)
         sys.modules["librosa"] = lib
-        sys.modules["librosa.effects"] = effects
-        sys.modules["librosa.filters"] = filters
+    for sub in ("effects", "filters"):
+        name = f"librosa.{sub}"
+        m = sys.modules.get(name) or getattr(lib, sub, None)
+        if m is None:
+            m = types.ModuleType(name)
+            m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        sys.modules[name] = m
+        setattr(lib, sub, m)
+
+    def _load(path, sr=None, **_k):
+        wav, fsr = read_wav(path)
+        if sr is not None and fsr != sr:
+            wav, fsr = resample(wav, fsr, sr), sr
+        return wav.astype(np.float32), fsr
+
+    if not hasattr(lib, "load"):
+        lib.load = _load
+    if not hasattr(lib.effects, "trim"):
+        lib.effects.trim = lambda y, top_db=60, **_k: trim_silence(
+            y, top_db=top_db)
+    if not hasattr(lib.filters, "mel"):
+        lib.filters.mel = lambda *, sr, n_fft, n_mels, fmin=0.0, fmax=None: (
+            mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
 
 
 class TorchHubertSoft(torch.nn.Module):

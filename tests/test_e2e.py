@@ -452,3 +452,27 @@ def test_process_loader_matches_thread_loader_compact(synth_dataset):
                     np.asarray(y[k]).view(np.uint8))
     finally:
         proc_loader.close()
+
+
+def test_loader_skip_next_iter_both_modes(synth_dataset):
+    """Mid-epoch resume fast-forward: skipping n batches yields exactly the
+    tail of the full epoch, with original crop keys, in BOTH loader modes."""
+    cfg = e2e_config(synth_dataset)
+    ds = UnitAudioSpecDataset("train", cfg)
+    sampler = BucketSampler(ds.lengths, cfg.train.batch_size,
+                            [32, 40, 50, 60, 70, 80, 90, 100], shuffle=True)
+    for mode in ("thread", "process"):
+        loader = DataLoader(ds, sampler, cfg, num_workers=2, seed=7, mode=mode)
+        try:
+            sampler.set_epoch(2)
+            full = [{k: v.copy() for k, v in b.items()} for b in loader]
+            loader.skip_next_iter(2)
+            tail = [{k: v.copy() for k, v in b.items()} for b in loader]
+            assert len(tail) == len(full) - 2
+            for x, y in zip(full[2:], tail):
+                for k in ("unit", "spec", "wave"):
+                    np.testing.assert_array_equal(x[k], y[k])
+            # the skip is one-shot: the next iteration is full again
+            assert len(list(loader)) == len(full)
+        finally:
+            loader.close()
