@@ -98,8 +98,10 @@ class TrainConfig:
                                     #             compute dtype; the linear
                                     #             spec is recomputed on-device
                                     #             (it is DERIVED data and 53%
-                                    #             of the batch bytes) — ~38 MB
-                                    #             per b64 batch at bf16, 4.2x
+                                    #             of the batch bytes; fused
+                                    #             Pallas kernel, +0.8 ms/step
+                                    #             device cost) — ~38 MB per
+                                    #             b64 batch at bf16, 4.2x
                                     #             less H2D + no host spec
                                     #             cache, numerics equal to
                                     #             "full" at f32 rounding

@@ -116,6 +116,73 @@ def _kernel(chunks_hbm, wdft_ref, mel_ref, out_ref, scratch, sem, *, r, freq_pad
     out_ref[0] = jnp.log(jnp.clip(mel, min=1e-5))
 
 
+def _spec_kernel(chunks_hbm, wdft_ref, out_ref, scratch, sem, *, r, freq_pad):
+    """Same framing/DFT pipeline as _kernel, emitting the LINEAR spec."""
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        chunks_hbm.at[i, pl.ds(s * TILE_F, TILE_F + HALO_ROWS)], scratch, sem)
+    cp.start()
+    cp.wait()
+    rows = scratch[:]
+    zi = None
+    for j in range(r):
+        cj = rows[j : j + TILE_F]
+        acc = jnp.dot(cj, wdft_ref[j], preferred_element_type=jnp.float32)
+        zi = acc if zi is None else zi + acc
+    re = zi[:, :freq_pad]
+    im = zi[:, freq_pad:]
+    out_ref[0] = jnp.sqrt(re * re + im * im + 1e-6)
+
+
+def wave_to_spec_halo_pallas(y_halo: jax.Array, n_fft: int, hop: int,
+                             win: int) -> jax.Array:
+    """(B, T + 2*pad) halo'd wave -> (B, T//hop, n_freq) linear spec.
+
+    Fused framing+DFT+magnitude for the compact-transfer training step
+    (train/step.py): the input already carries the (n_fft-hop)/2 halo, so
+    no pad here; matches dsp.stft.wave_to_spec_halo (XLA) to f32 rounding.
+    Non-differentiable — fine: the spec is batch-derived, and the step
+    differentiates only w.r.t. params. Measured: replaces ~6 ms of
+    f32-HIGHEST XLA DFT matmuls per b64 x 512f step (BENCH.md).
+    """
+    assert n_fft % hop == 0
+    r = n_fft // hop
+    pad = (n_fft - hop) // 2
+    b, tp = y_halo.shape
+    t = tp - 2 * pad
+    f = t // hop
+    n_freq = n_fft // 2 + 1
+    hop_pad = _pad_to(hop, LANE)
+    freq_pad = _pad_to(n_freq, LANE)
+    assert (2 * pad) % hop == 0
+
+    n_hops = tp // hop                      # = f + r - 1
+    n_tiles = -(-f // TILE_F)
+    rows_pad = n_tiles * TILE_F + HALO_ROWS
+    chunks = y_halo.astype(jnp.float32)[:, : n_hops * hop].reshape(b, n_hops, hop)
+    chunks = jnp.pad(chunks, [(0, 0), (0, rows_pad - n_hops), (0, hop_pad - hop)])
+
+    wdft = jnp.asarray(_fused_basis(n_fft, hop, win))
+    out = pl.pallas_call(
+        functools.partial(_spec_kernel, r=r, freq_pad=freq_pad),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_F, freq_pad), lambda i, s: (i, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * TILE_F, freq_pad),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_F + HALO_ROWS, hop_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(chunks, wdft)
+    return out[:, :f, :n_freq]
+
+
 def wave_to_mel_pallas(y: jax.Array, sr: int, n_fft: int, hop: int, win: int,
                        n_mels: int, fmin: float = 0.0,
                        fmax: float | None = None) -> jax.Array:

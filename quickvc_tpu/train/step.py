@@ -138,14 +138,26 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
             # s16 PCM /32768 is the exact f32 the host would have sent;
             # the halo'd valid framing sees the same samples the host STFT
             # saw; frames/samples past n_take are masked to the full
-            # path's zero tails. Costs ~2 ms of MXU DFT per step, saves
-            # ~120 MB of H2D per b64 batch.
+            # path's zero tails. Device cost: +0.8 ms/step at b64 x 512f
+            # with the fused Pallas spec below (the XLA f32-HIGHEST DFT
+            # path costs +6.0 ms — measured A/B, BENCH.md); saves ~120 MB
+            # of H2D per b64 batch.
             unit = batch["unit"]
             pad = (cfg.data.filter_length - hop) // 2
             wf = batch["wave_s16"].astype(jnp.float32) / 32768.0
             frames_l = unit.shape[1]
-            spec = wave_to_spec_halo(wf, cfg.data.filter_length, hop,
-                                     cfg.data.win_length)
+            if jax.default_backend() == "cpu":
+                spec = wave_to_spec_halo(wf, cfg.data.filter_length, hop,
+                                         cfg.data.win_length)
+            else:
+                # Fused Pallas framing+DFT+magnitude: the spec is not
+                # differentiated (batch-derived), so the kernel needs no
+                # VJP; saves ~6 ms of f32-HIGHEST XLA DFT per b64 step
+                # (interpret-mode parity: tests/test_pallas.py)
+                from quickvc_tpu.ops.fused_mel import wave_to_spec_halo_pallas
+
+                spec = wave_to_spec_halo_pallas(wf, cfg.data.filter_length,
+                                                hop, cfg.data.win_length)
             fmask = (jnp.arange(frames_l)[None, :]
                      < batch["n_take"][:, None])
             spec = spec * fmask[..., None]

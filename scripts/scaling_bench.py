@@ -37,6 +37,15 @@ def main():
     parser.add_argument("--split-prior", action="store_true",
                         help="enc_p in its own vjp after the D update "
                              "(train.split_prior A/B)")
+    parser.add_argument("--lr", type=float, default=None,
+                        help="override learning rate (timing is "
+                             "lr-independent; small values keep the GAN "
+                             "finite on random benchmark inputs)")
+    parser.add_argument("--transfer", choices=["full", "compact"],
+                        default="full",
+                        help="batch wire format (train.transfer): compact "
+                             "= s16 wave + halo, on-device spec — A/B the "
+                             "device-side cost of the in-step STFT")
     args = parser.parse_args()
 
     import jax
@@ -53,6 +62,9 @@ def main():
         cfg.train.guard_nonfinite = False
     if args.split_prior:
         cfg.train.split_prior = True
+    cfg.train.transfer = args.transfer
+    if args.lr is not None:
+        cfg.train.learning_rate = args.lr
     if args.small:
         cfg.train.segment_size = 2560
         cfg.train.disc_width = 0.25
@@ -76,11 +88,22 @@ def main():
         mesh = data_parallel_mesh(w)
         rep, bsh = replicated(mesh), batch_sharding(mesh)
         b = args.per_device_batch * w
-        batch = {
-            "unit": jnp.asarray(rng.standard_normal((b, args.frames, cfg.model.unit_channels)).astype(np.float32)),
-            "spec": jnp.asarray(np.abs(rng.standard_normal((b, args.frames, cfg.spec_channels))).astype(np.float32)),
-            "wave": jnp.asarray(rng.standard_normal((b, args.frames * cfg.data.hop_length, 1)).astype(np.float32) * 0.1),
-        }
+        if args.transfer == "compact":
+            pad = (cfg.data.filter_length - cfg.data.hop_length) // 2
+            n = args.frames * cfg.data.hop_length + 2 * pad
+            batch = {
+                "unit": jnp.asarray(rng.standard_normal(
+                    (b, args.frames, cfg.model.unit_channels)).astype(np.float32)),
+                "wave_s16": jnp.asarray((rng.standard_normal((b, n)) * 3000)
+                                        .astype(np.int16)),
+                "n_take": jnp.full((b,), args.frames, jnp.int32),
+            }
+        else:
+            batch = {
+                "unit": jnp.asarray(rng.standard_normal((b, args.frames, cfg.model.unit_channels)).astype(np.float32)),
+                "spec": jnp.asarray(np.abs(rng.standard_normal((b, args.frames, cfg.spec_channels))).astype(np.float32)),
+                "wave": jnp.asarray(rng.standard_normal((b, args.frames * cfg.data.hop_length, 1)).astype(np.float32) * 0.1),
+            }
         state = jax.device_put(state0, rep)
         batch = jax.device_put(batch, bsh)
         step = make_train_step(cfg, net_g, net_d, basis)

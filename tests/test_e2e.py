@@ -476,3 +476,22 @@ def test_loader_skip_next_iter_both_modes(synth_dataset):
             assert len(list(loader)) == len(full)
         finally:
             loader.close()
+
+
+def test_compact_run_with_eval(synth_dataset, tmp_path):
+    """run() under compact transfer with eval enabled: the eval path keeps
+    its host-spec reference-parity metrics while training ships compact."""
+    import dataclasses
+
+    from quickvc_tpu.train.loop import run
+
+    cfg = e2e_config(synth_dataset)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, transfer="compact",
+                                       eval_interval=2, batch_size=8))
+    cfg.model_dir = str(tmp_path / "compact_eval_run")
+    run(cfg, max_steps=3)
+    log = open(os.path.join(cfg.model_dir, "train.log")).read()
+    assert "eval step 2 | mel_l1" in log
+    # eval audio written under the eval summarizer
+    assert os.path.isdir(os.path.join(cfg.model_dir, "eval"))

@@ -175,3 +175,20 @@ class TestFusedDiscConv:
         for a, c, name in zip(g_ours, g_ref, ("dx", "dw", "db")):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        atol=5e-5, rtol=1e-4, err_msg=name)
+
+
+def test_fused_spec_halo_matches_xla(rng):
+    """wave_to_spec_halo_pallas (compact-transfer training featurization)
+    == dsp.stft.wave_to_spec_halo at f32 rounding."""
+    from quickvc_tpu.dsp.stft import wave_to_spec_halo
+    from quickvc_tpu.ops.fused_mel import wave_to_spec_halo_pallas
+
+    n_fft, hop, win = 1280, 320, 1280
+    pad = (n_fft - hop) // 2
+    t = 40 * hop
+    y = rng.standard_normal((2, t + 2 * pad)).astype(np.float32) * 0.1
+    golden = np.asarray(wave_to_spec_halo(jnp.asarray(y), n_fft, hop, win))
+    ours = np.asarray(_pallas_interpret(
+        wave_to_spec_halo_pallas, jnp.asarray(y), n_fft, hop, win))
+    assert ours.shape == golden.shape == (2, 40, 641)
+    np.testing.assert_allclose(ours, golden, atol=2e-4, rtol=2e-4)
