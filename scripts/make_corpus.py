@@ -79,27 +79,54 @@ def _speaker_bank(n_speakers: int, seed: int, sr: int):
 
 def synth_utterance(speaker, seconds: float, sr: int,
                     rng: np.random.Generator) -> np.ndarray:
-    """Speech-like signal: pulse train at a wandering f0 through the
-    speaker's envelope filter, syllable-rate AM, breath noise."""
+    """Speech-like signal: alternating voiced syllables (pulse train at a
+    wandering f0 through the speaker's envelope filter, per-syllable
+    formant-ish band emphasis) and unvoiced fricative bursts, with
+    attack/decay envelopes and inter-word dips.
+
+    The round-4 v1 generator (continuous harmonic tone + sinusoidal AM)
+    produced audio degenerate enough that the GAN diverged instantly at
+    the reference's lr=2e-4 while real speech trains cleanly (BENCH.md
+    forensics); this version restores the aperiodic/voiced alternation
+    and spectral movement real speech has.
+    """
     from scipy.signal import lfilter
 
     f0_base, fir, breath = speaker
     n = int(seconds * sr)
-    t = np.arange(n, dtype=np.float32) / sr
-    # f0 contour: slow random walk (prosody) + 5 Hz vibrato
-    walk = np.cumsum(rng.standard_normal(n // 800 + 2) * 0.02)
-    walk = np.interp(np.linspace(0, len(walk) - 1, n), np.arange(len(walk)), walk)
-    f0 = f0_base * np.exp(walk + 0.01 * np.sin(2 * np.pi * 5.0 * t))
-    phase = np.cumsum(f0) / sr
-    # glottal-ish pulse train: sharpened saw
-    saw = (phase % 1.0).astype(np.float32)
-    src = (saw ** 6 - 1.0 / 7.0).astype(np.float32)
-    voiced = lfilter(fir, [1.0], src).astype(np.float32)
-    # syllable-rate AM (3-5 Hz), floored so trim_silence keeps the edges
-    am = 0.55 + 0.45 * np.sin(
-        2 * np.pi * rng.uniform(3.0, 5.0) * t + rng.uniform(0, 6.28))
-    sig = voiced * am.astype(np.float32)
-    sig += breath * rng.standard_normal(n).astype(np.float32) * (0.4 + 0.6 * am)
+    sig = np.zeros(n, np.float32)
+    pos = 0
+    while pos < n:
+        dur = int(sr * rng.uniform(0.10, 0.28))
+        dur = min(dur, n - pos)
+        t = np.arange(dur, dtype=np.float32) / sr
+        voiced = rng.random() < 0.72
+        if voiced:
+            f0 = f0_base * np.exp(rng.uniform(-0.25, 0.25)
+                                  + np.cumsum(rng.standard_normal(dur))
+                                  * 0.3 / sr
+                                  + 0.01 * np.sin(2 * np.pi * 5.0 * t))
+            phase = np.cumsum(f0) / sr
+            saw = (phase % 1.0).astype(np.float32)
+            src = (saw ** 6 - 1.0 / 7.0).astype(np.float32)
+            # moving formant-ish emphasis: mix in a band of shaped noise
+            src += 0.15 * rng.standard_normal(dur).astype(np.float32)
+            seg = lfilter(fir, [1.0], src).astype(np.float32)
+        else:
+            # fricative/plosive: high-passed noise burst
+            noise = rng.standard_normal(dur + 1).astype(np.float32)
+            seg = (noise[1:] - rng.uniform(0.5, 0.95) * noise[:-1])
+            seg = lfilter(fir[::-1], [1.0], seg).astype(np.float32) * 0.6
+        # attack/decay inside the syllable; floor keeps trim_silence happy
+        env = np.minimum(1.0, np.minimum(t / 0.02, (t[-1] - t + 1e-3) / 0.05))
+        amp = rng.uniform(0.45, 1.0) * (0.35 + 0.65 * env)
+        sig[pos : pos + dur] = seg * amp.astype(np.float32)
+        pos += dur
+        # short inter-word dip (kept above the -20 dB trim threshold by
+        # breath noise below)
+        gap = int(sr * rng.uniform(0.0, 0.06))
+        pos += min(gap, max(0, n - pos))
+    sig += breath * rng.standard_normal(n).astype(np.float32)
     return (0.8 * sig / (np.abs(sig).max() + 1e-9)).astype(np.float32)
 
 
