@@ -88,7 +88,9 @@ class TrainConfig:
                                     # buffering, more smooths jittery
                                     # loaders/links at one resident batch
                                     # of HBM each
-    transfer: str = "full"          # host->device batch format:
+    transfer: str = "compact"       # host->device batch format (the step
+                                    # auto-detects from the batch keys, so
+                                    # this drives the training LOADER):
                                     # "full"    = f32 unit + precomputed f32
                                     #             spec + f32 wave (reference-
                                     #             parity data flow, ~160 MB
@@ -106,7 +108,12 @@ class TrainConfig:
                                     #             cache, numerics equal to
                                     #             "full" at f32 rounding
                                     #             (tests/test_train_step.py::
-                                    #             TestCompactTransfer)
+                                    #             TestCompactTransfer).
+                                    # Default "compact": the TPU-first wire
+                                    # format, proven at production shape
+                                    # (BENCH.md flagship 520-step run); set
+                                    # "full" for bit-level reference-parity
+                                    # data-flow debugging.
     zero_opt_state: bool = False    # ZeRO-1: shard AdamW moments over the
                                     # data axis (parallel/mesh.py:
                                     # zero1_state_sharding) — n× less

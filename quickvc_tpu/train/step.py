@@ -132,7 +132,12 @@ def make_train_step(cfg: QuickVCConfig, net_g, net_d, mel_basis,
                            rngs=rngs)
 
     def train_step(state: TrainState, batch: dict[str, jax.Array], rng: jax.Array):
-        if cfg.train.transfer == "compact":
+        # Wire format detected from the batch keys at trace time: the
+        # config's train.transfer drives the LOADER side (data/dataset.py
+        # collate), while the step accepts either format — direct callers
+        # (tests, benches, dryruns) can feed full-mode batches regardless
+        # of the config default.
+        if "wave_s16" in batch:
             # Reconstruct the full-mode (unit, spec, wave) on-device from
             # the compact wire format (data/dataset.py collate_batch):
             # s16 PCM /32768 is the exact f32 the host would have sent;

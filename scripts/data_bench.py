@@ -69,6 +69,11 @@ def main():
     parser.add_argument("--mode", default="thread",
                         choices=["thread", "process"],
                         help="worker mode for the cold/warm epochs")
+    parser.add_argument("--transfer", default="full",
+                        choices=["full", "compact"],
+                        help="wire format to assemble ('full' matches the "
+                             "recorded BENCH.md loader numbers; compact "
+                             "skips host spec work and is ~2x faster)")
     args = parser.parse_args()
 
     from quickvc_tpu.config import QuickVCConfig
@@ -86,7 +91,9 @@ def main():
     cfg.data.training_files = listfile
     cfg.data.validation_files = listfile
     cfg.train.batch_size = args.batch_size
-    ds = UnitAudioSpecDataset("train", cfg)
+    cfg.train.transfer = args.transfer
+    ds = UnitAudioSpecDataset("train", cfg,
+                              with_spec=args.transfer != "compact")
     sampler = BucketSampler(ds.lengths, args.batch_size, BUCKET_BOUNDARIES)
     loader = DataLoader(ds, sampler, cfg, num_workers=args.num_workers,
                         mode=args.mode)

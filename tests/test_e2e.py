@@ -59,6 +59,7 @@ def e2e_config(list_path: str) -> QuickVCConfig:
 
 def test_pipeline_trains_and_infers(synth_dataset, rng):
     cfg = e2e_config(synth_dataset)
+    cfg.train.transfer = "full"  # this test pins the reference-parity flow
     ds = UnitAudioSpecDataset("train", cfg)
     assert len(ds) == 4
     item = ds[0]
@@ -205,6 +206,7 @@ def test_loader_deterministic_and_ordered(synth_dataset):
     (crops keyed by (seed, epoch, batch index)), arrive in sampler order,
     and change when the epoch changes."""
     cfg = e2e_config(synth_dataset)
+    cfg.train.transfer = "full"
     ds = UnitAudioSpecDataset("train", cfg)
     sampler = BucketSampler(ds.lengths, cfg.train.batch_size,
                             [32, 40, 50, 60, 70, 80, 90, 100], shuffle=True)
@@ -363,6 +365,7 @@ def test_process_loader_matches_thread_loader(synth_dataset):
     bit-identical to the thread path — same (seed, epoch, batch index)
     crop contract, zero-copy shm views on the parent side."""
     cfg = e2e_config(synth_dataset)
+    cfg.train.transfer = "full"  # the compact variant has its own test
     ds = UnitAudioSpecDataset("train", cfg)
     sampler = BucketSampler(ds.lengths, cfg.train.batch_size,
                             [32, 40, 50, 60, 70, 80, 90, 100], shuffle=True)
@@ -458,6 +461,7 @@ def test_loader_skip_next_iter_both_modes(synth_dataset):
     """Mid-epoch resume fast-forward: skipping n batches yields exactly the
     tail of the full epoch, with original crop keys, in BOTH loader modes."""
     cfg = e2e_config(synth_dataset)
+    cfg.train.transfer = "full"
     ds = UnitAudioSpecDataset("train", cfg)
     sampler = BucketSampler(ds.lengths, cfg.train.batch_size,
                             [32, 40, 50, 60, 70, 80, 90, 100], shuffle=True)

@@ -742,6 +742,9 @@ class TestCompactTransfer:
         from quickvc_tpu.data.dataset import collate_batch
 
         cfg_full = tiny_config()
+        cfg_full = dataclasses.replace(
+            cfg_full, train=dataclasses.replace(cfg_full.train,
+                                                transfer="full"))
         cfg_compact = dataclasses.replace(
             cfg_full, train=dataclasses.replace(cfg_full.train,
                                                 transfer="compact"))
