@@ -105,8 +105,11 @@ def main():
         audio_s = 0.0
         for batch in ldr:
             n_batches += 1
-            n_items += batch["wave"].shape[0]
-            audio_s += batch["wave"].shape[0] * batch["wave"].shape[1] / 16000
+            w = batch.get("wave")
+            if w is None:  # compact wire format
+                w = batch["wave_s16"]
+            n_items += w.shape[0]
+            audio_s += w.shape[0] * w.shape[1] / 16000
         dt = time.perf_counter() - t0
         rec = {
             "epoch": name,
