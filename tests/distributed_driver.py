@@ -45,6 +45,8 @@ for ms in step_targets:
 from quickvc_tpu.train.state import create_train_state  # noqa: E402
 from quickvc_tpu.utils.checkpoint import CheckpointManager  # noqa: E402
 
+import hashlib  # noqa: E402
+
 state, _, _ = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed))
 restored = CheckpointManager(cfg.model_dir).restore_latest(
     jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state))
@@ -52,4 +54,11 @@ assert restored is not None
 st, step = restored
 gsum = float(sum(np.abs(np.asarray(x)).sum() for x in jax.tree.leaves(st.g_params)))
 assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(st.g_params))
-print(f"DRIVER pid={pid} step={step} gsum={gsum:.6e}", flush=True)
+# Bit-exact digest of the ENTIRE restored state (params + both AdamW opt
+# states + step counters): the trajectory-equivalence assertion compares it
+# between a straight run and a save/restore-split run across processes.
+h = hashlib.sha256()
+for leaf in jax.tree.leaves(st):
+    h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+print(f"DRIVER pid={pid} step={step} gsum={gsum:.6e} "
+      f"shash={h.hexdigest()}", flush=True)
