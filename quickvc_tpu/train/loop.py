@@ -25,6 +25,7 @@ from quickvc_tpu.models.synthesizer import SynthesizerTrn
 from quickvc_tpu.parallel import batch_sharding, data_parallel_mesh, replicated
 from quickvc_tpu.train.state import create_train_state, param_count
 from quickvc_tpu.train.step import make_train_step
+from quickvc_tpu.train.telemetry import StepWallTracker
 from quickvc_tpu.utils.checkpoint import CheckpointManager
 from quickvc_tpu.utils.logging import Summarizer, get_logger, plot_spectrogram
 
@@ -157,6 +158,18 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
     resume_skip = global_step % max(1, len(loader))
     t_last = time.perf_counter()
     nonfinite_logs = 0
+    # Step-wall telemetry (train/telemetry.py): per-step walls measured at a
+    # bounded pipeline depth — after dispatching step k the loop fetches ONE
+    # scalar from step k-depth's metrics, which (a) is the only reliable
+    # completion sync on the tunnel (CLAUDE.md: block_until_ready can return
+    # early; a fetched scalar cannot) and (b) bounds the dispatch queue so
+    # per-iteration wall == steady-state pipeline wall, while the fetch
+    # round-trip hides under the `depth` steps still in flight.
+    walls = StepWallTracker()
+    from collections import deque as _deque
+    sync_depth = max(2, cfg.train.prefetch_batches)
+    inflight_metrics: _deque = _deque()
+    t_iter = time.perf_counter()
 
     def device_batches(host_iter):
         """Prefetch: overlap host->device transfer with the running step.
@@ -210,6 +223,16 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                          rep)
             with mesh:
                 state, metrics = step_fn(state, batch, rng)
+            inflight_metrics.append(metrics["loss/g/total"])
+            if len(inflight_metrics) > sync_depth:
+                jax.device_get(inflight_metrics.popleft())
+            dt_step = time.perf_counter() - t_iter
+            stall_med = walls.add(dt_step)
+            if stall_med is not None:
+                logger.warning(
+                    "stall: step %d wall %.2f s > %.0fx running median %.3f s "
+                    "(stall #%d this run)", global_step, dt_step,
+                    walls.stall_factor, stall_med, walls.stalls)
 
             if global_step % cfg.train.log_interval == 0:
                 m = jax.device_get(metrics)
@@ -262,7 +285,10 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                             g_total, d_total,
                             float(m["loss/g/mel"]), float(m["loss/g/kl"]), dt)
                 if writer:
-                    writer.scalars(global_step, m)
+                    # time/step_p50|p95|max over the steps since the last
+                    # log — pipeline wall only (eval/ckpt/log time excluded
+                    # by resetting t_iter at the end of the loop body)
+                    writer.scalars(global_step, m | walls.summary())
                     # reference TB image tags (train.py:174-178)
                     writer.images(global_step, {
                         "slice/mel_org": plot_spectrogram(
@@ -294,6 +320,10 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                 ckpt.save(global_step, state)
                 ckpt.wait()
                 return
+            # restart the step-wall clock AFTER log/eval/ckpt/export so their
+            # cost never pollutes the pipeline-wall distribution (it is
+            # already visible in the logged dt-since-last-log)
+            t_iter = time.perf_counter()
         logger.info("====> Epoch %d done", epoch)
     ckpt.wait()
 
@@ -389,6 +419,7 @@ def evaluate(global_step: int, cfg: QuickVCConfig, net_g: SynthesizerTrn,
     hop = cfg.data.hop_length
     bucket = max(1, cfg.data.sampling_rate // hop)  # 1 s of frames
     mel_l1s, spk_sims = [], []
+    stash = []  # (n, padded unit, device d-vector) per item, for the VC pass
     for i in range(min(max_items, len(eval_ds))):
         item = eval_ds[i]
         n = min(item["unit"].shape[0], item["spec"].shape[0])
@@ -428,9 +459,46 @@ def evaluate(global_step: int, cfg: QuickVCConfig, net_g: SynthesizerTrn,
         spk_sims.append(float(
             (g_np * g_hat).sum()
             / (np.linalg.norm(g_np) * np.linalg.norm(g_hat) + 1e-8)))
+        stash.append((n, unit, g_vec))
+    # Cross-speaker conversion metric (beyond reference, VERDICT r4 item 3):
+    # the reference's eval is reconstruction-only (train.py:196-222), but the
+    # product task is conversion — content from item i rendered in the voice
+    # of item j != i. For each item, pick the MOST DISTINCT other eval voice
+    # (argmin d-vector cosine, so the margin below is meaningful even when
+    # adjacent eval items share a speaker), convert, and score the generated
+    # audio's d-vector against the TARGET voice (eval/vc_spk_sim) and its
+    # margin over the SOURCE voice (eval/vc_spk_margin > 0 means the output
+    # sounds more like the target than the source — the conversion is
+    # working). Reuses the reconstruction pass's padded units, cached
+    # d-vectors, and the same bucketed jit programs: zero extra compiles.
+    vc_sims, vc_margins = [], []
+    if len(stash) >= 2:
+        g_host = np.stack([np.asarray(g).reshape(-1) for _, _, g in stash])
+        g_unit = g_host / (np.linalg.norm(g_host, axis=1, keepdims=True) + 1e-8)
+        cos = g_unit @ g_unit.T
+        np.fill_diagonal(cos, np.inf)
+        targets = np.argmin(cos, axis=1)
+        for i, (n, unit, _) in enumerate(stash):
+            j = int(targets[i])
+            y_vc, y_vc_mel = fns["synth"](params, unit, stash[j][2])
+            g_hat = np.asarray(embed_utterance_batch(
+                fns["embed"], params, y_vc_mel[:, :n])).reshape(-1)
+            g_hat = g_hat / (np.linalg.norm(g_hat) + 1e-8)
+            sim_t = float(g_hat @ g_unit[j])
+            sim_s = float(g_hat @ g_unit[i])
+            vc_sims.append(sim_t)
+            vc_margins.append(sim_t - sim_s)
+            if i == 0:
+                writer.audios(global_step, {
+                    "vc/audio_0": np.asarray(y_vc[0, : n * hop, 0])},
+                    cfg.data.sampling_rate)
     mean_l1 = float(np.mean(mel_l1s)) if mel_l1s else None
     if mean_l1 is not None:
-        writer.scalars(global_step, {"eval/mel_l1": mean_l1,
-                                     "eval/spk_sim": float(np.mean(spk_sims))})
+        scalars = {"eval/mel_l1": mean_l1,
+                   "eval/spk_sim": float(np.mean(spk_sims))}
+        if vc_sims:
+            scalars["eval/vc_spk_sim"] = float(np.mean(vc_sims))
+            scalars["eval/vc_spk_margin"] = float(np.mean(vc_margins))
+        writer.scalars(global_step, scalars)
     writer.flush()
     return mean_l1

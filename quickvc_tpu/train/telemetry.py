@@ -1,0 +1,76 @@
+"""Step-wall telemetry: per-step wall-time percentiles + stall detection.
+
+The reference logs nothing about step timing (its train.py:165-179 logs
+losses only); on real clusters the first-line diagnostic for preemption,
+slow hosts, and flaky links is the step-wall distribution and a "this step
+took k x the usual" warning. Motivating incident: a 270 s tunnel stall
+inside the round-4 flagship run was only found by reading raw logs
+(BENCH.md "train.py wall-clock at production shape").
+
+``StepWallTracker`` is pure host-side bookkeeping — the loop feeds it the
+wall time of each completed iteration (which, with async dispatch, is the
+steady-state pipeline wall: max(device step, H2D, host loader)). It keeps
+
+- a bounded window of recent walls for a *running median* (robust to the
+  occasional stall entering the window), and
+- the walls since the last log flush, summarized to p50/p95/max scalars
+  (``time/step_p50`` etc.) for TensorBoard.
+
+A step is flagged as a stall when it exceeds ``stall_factor`` x the running
+median, after ``warmup`` samples exist (the first iterations of every new
+bucket shape pay an XLA compile and *should* be flagged thereafter — a
+mid-run compile is a stall from the run's perspective).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+
+class StepWallTracker:
+    def __init__(self, stall_factor: float = 5.0, median_window: int = 200,
+                 warmup: int = 20):
+        self.stall_factor = stall_factor
+        self.warmup = warmup
+        self._recent: deque[float] = deque(maxlen=median_window)
+        self._since_log: list[float] = []
+        self.stalls = 0          # lifetime count of flagged stalls
+        self.total_steps = 0
+
+    def _median(self) -> float:
+        xs = sorted(self._recent)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+    def add(self, dt: float) -> float | None:
+        """Record one step's wall time.
+
+        Returns the running median if this step is a stall (caller logs the
+        warning with it), else None. The stalled sample still enters both
+        windows — the median is robust to it, and hiding it from the
+        percentiles would defeat their purpose.
+        """
+        stall_median = None
+        if len(self._recent) >= self.warmup:
+            med = self._median()
+            if med > 0 and dt > self.stall_factor * med:
+                stall_median = med
+                self.stalls += 1
+        self._recent.append(dt)
+        self._since_log.append(dt)
+        self.total_steps += 1
+        return stall_median
+
+    def summary(self) -> dict[str, float]:
+        """Percentile scalars over the steps since the last summary; resets
+        the log window (the running-median window is untouched)."""
+        xs = sorted(self._since_log)
+        self._since_log = []
+        if not xs:
+            return {}
+        n = len(xs)
+        return {
+            "time/step_p50": xs[int(0.50 * (n - 1))],
+            "time/step_p95": xs[int(0.95 * (n - 1))],
+            "time/step_max": xs[-1],
+        }

@@ -20,9 +20,18 @@ Layout mappings (see torch_port.py for the forward direction):
   is structurally unused there (reference modules.py:66; our port zero-fills
   it, torch_port.py:_wavenet).
 
-The optimizer state is NOT exported (optax and torch.optim.AdamW trees are
-not interchangeable); the reference's resume path falls back to scratch
-optimizers via its bare try/except (reference train.py:61-68).
+Optimizer state IS exported (round 5): optax ``adamw`` and
+``torch.optim.AdamW`` share the same update rule (bias-corrected first/
+second moments, decoupled weight decay 0.01, identical bias-correction
+step numbering), and the moment trees mirror the param tree — so
+``export_generator``/``export_discriminator`` applied to the mu/nu trees
+yields name->moment state dicts, and :func:`export_adamw_state` assembles
+them into the ``torch.optim.AdamW.state_dict()`` schema. This matters
+because the reference's resume path (reference train.py:61-68 ->
+utils.py:157-158) calls ``optimizer.load_state_dict(ckpt['optimizer'])``
+BEFORE restoring the model and falls back to scratch via its bare except
+if that raises — a checkpoint with ``optimizer: None`` silently disables
+the official fine-tune workflow (reference quickvc.ipynb).
 """
 
 from __future__ import annotations
@@ -143,8 +152,70 @@ def export_discriminator(params: Mapping[str, Any],
     return sd
 
 
+def adam_moment_trees(opt_state):
+    """Pull the (mu, nu, count) out of our optimizer state.
+
+    ``make_optimizer`` is ``inject_hyperparams(adamw)``; its inner chain
+    carries exactly one ``ScaleByAdamState`` whose mu/nu trees mirror the
+    param tree (same leaf names, so the structural exporters above apply
+    to them unchanged).
+    """
+    import jax
+    import optax
+
+    adam = [s for s in jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+        if isinstance(s, optax.ScaleByAdamState)]
+    assert len(adam) == 1, f"expected one ScaleByAdamState, got {len(adam)}"
+    return adam[0].mu, adam[0].nu, int(adam[0].count)
+
+
+def export_adamw_state(ordered_param_names, mu_sd: Mapping[str, np.ndarray],
+                       nu_sd: Mapping[str, np.ndarray], count: int,
+                       learning_rate: float, betas=(0.8, 0.99),
+                       eps: float = 1e-9, weight_decay: float = 0.01) -> dict:
+    """Assemble a ``torch.optim.AdamW.state_dict()`` from exported moments.
+
+    ``ordered_param_names`` is ``[n for n, _ in model.named_parameters()]``
+    of the torch-side model (parameters only — buffers like PQMF filters
+    are in the state dict but not in any param group); every name must
+    exist in the moment dicts. ``count`` follows optax's convention
+    (number of updates applied) which equals torch's ``step``.
+    """
+    import torch
+
+    state, missing = {}, []
+    for i, name in enumerate(ordered_param_names):
+        if name not in mu_sd or name not in nu_sd:
+            missing.append(name)
+            continue
+        state[i] = {
+            "step": torch.tensor(float(count)),
+            "exp_avg": torch.from_numpy(np.array(mu_sd[name], copy=True)),
+            "exp_avg_sq": torch.from_numpy(np.array(nu_sd[name], copy=True)),
+        }
+    assert not missing, f"params without exported moments: {missing[:8]}"
+    return {
+        "state": state,
+        "param_groups": [{
+            "lr": float(learning_rate),
+            "betas": tuple(float(b) for b in betas),
+            "eps": float(eps),
+            "weight_decay": float(weight_decay),
+            "amsgrad": False,
+            "maximize": False,
+            "foreach": None,
+            "capturable": False,
+            "differentiable": False,
+            "fused": None,
+            "params": list(range(len(ordered_param_names))),
+        }],
+    }
+
+
 def save_reference_checkpoint(path: str, state_dict: Mapping[str, np.ndarray],
-                              iteration: int, learning_rate: float) -> None:
+                              iteration: int, learning_rate: float,
+                              optimizer_sd: dict | None = None) -> None:
     """Write a reference-schema ``.pth``: {model, iteration, optimizer, learning_rate}."""
     import torch
 
@@ -154,6 +225,6 @@ def save_reference_checkpoint(path: str, state_dict: Mapping[str, np.ndarray],
         "model": {k: torch.from_numpy(np.array(v, copy=True))
                   for k, v in state_dict.items()},
         "iteration": int(iteration),
-        "optimizer": None,  # see module docstring
+        "optimizer": optimizer_sd,  # AdamW schema (export_adamw_state) or None
         "learning_rate": float(learning_rate),
     }, path)

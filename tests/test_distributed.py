@@ -91,6 +91,8 @@ def _launch_pair(cfg_path, step_targets):
     return lines
 
 
+@pytest.mark.slow  # two full 2-process sessions back-to-back: ~400 s cold,
+                   # each _launch_pair has its own 540 s timeout (ADVICE r4)
 def test_two_process_training_and_resume(dist_sandbox):
     cfg_path, model_dir = dist_sandbox
     lines = _launch_pair(cfg_path, ["2", "4"])
@@ -111,6 +113,10 @@ def test_two_process_training_and_resume(dist_sandbox):
     cfg2_path = os.path.join(cfg.model_dir, "config.json")
     cfg.save(cfg2_path)
     straight = _launch_pair(cfg2_path, ["4"])
+    # guard before hashing: if the fresh run restored something (e.g. an
+    # unfinalized async save leaking across dirs) the failure should read
+    # as a step mismatch, not an opaque hash divergence (ADVICE r4)
+    assert all("step=4" in ln for ln in straight), straight
     hashes = {ln.split("shash=")[1] for ln in lines + straight}
     assert len(hashes) == 1, (
         f"straight vs resumed state diverged:\n{lines}\n{straight}")

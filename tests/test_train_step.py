@@ -368,6 +368,51 @@ class TestTensorParallel:
             f"stdout: {proc.stdout[-2000:]}\nstderr: {proc.stderr[-2000:]}")
 
 
+    def test_scaled_tp_config_layout(self):
+        """configs/quickvc_tp.json — the documented width where TP pays
+        (BENCH.md roofline: upsample_initial_channel 4096 = 64x decoder conv
+        weights). eval_shape-only layout check: the wide kernels shard 8-way
+        on the model axis and per-device parameter bytes drop >= 5x vs
+        replicated. Full numerics at this width run once per round via
+        scripts/tp_scaled_contract.py (TP_CONTRACT_r{N}.json artifact)."""
+        import os
+
+        from quickvc_tpu.config import load_config
+        from quickvc_tpu.parallel.tp import mesh_2d, param_shardings
+        from quickvc_tpu.train.state import build_models
+
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        cfg = load_config(os.path.join(repo, "configs", "quickvc_tp.json"))
+        assert cfg.model.upsample_initial_channel == 4096
+        net_g, _ = build_models(cfg)
+        k = jax.random.PRNGKey(0)
+        f = 32  # >= segment_frames: __call__ slices a 32-frame segment
+        abstract = jax.eval_shape(lambda: net_g.init(
+            {"params": k, "sample": k, "slice": k},
+            jnp.zeros((1, f, cfg.model.unit_channels)),
+            jnp.zeros((1, f, cfg.spec_channels)),
+            jnp.zeros((1, f, cfg.data.n_mel_channels))))["params"]
+        mesh = mesh_2d(data=1, model=8)
+        shardings = param_shardings(mesh, abstract, min_channels=256)
+
+        total = per_dev = sharded = 0
+        for leaf, sh in zip(jax.tree.leaves(abstract),
+                            jax.tree.leaves(shardings, is_leaf=lambda s:
+                                            hasattr(s, "spec"))):
+            b = int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+            total += b
+            if "model" in str(sh.spec):
+                per_dev += b // 8
+                sharded += 1
+            else:
+                per_dev += b
+        # the scaled decoder pushes total params past ~3 GB f32 — the regime
+        # the config documents — and TP recovers most of it per device
+        assert total > 2_500_000_000, total
+        assert per_dev * 5 < total, (per_dev, total)
+        assert sharded > 20, sharded
+
+
 class TestZero1OptState:
     """ZeRO-1 optimizer-state sharding (parallel/mesh.py:zero1_state_sharding).
 
@@ -595,6 +640,7 @@ class TestShardMapStep:
             np.testing.assert_array_equal(shards[0], s)
 
 
+@pytest.mark.slow  # ~2 min per test cold: each runs two real run() sessions
 class TestResumeTrajectory:
     """N steps straight == k steps + save/restore + (N-k) steps, BIT-exact.
 
