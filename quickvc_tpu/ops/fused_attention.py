@@ -28,6 +28,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _prec(dtype):
+    """f32 inputs keep true-f32 MXU multiplicands; Mosaic's DEFAULT f32 dot
+    rounds them to bf16 (~1e-3 relative error, found by the round-5 on-TPU
+    parity gate — interpret mode is exact f32 and hid it). bf16 inputs stay
+    single-pass: there is nothing left to round."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, true_len: int):
     """One (batch, head) step: (Tp, D) q/k/v blocks; scores stay in VMEM."""
     q = q_ref[0]                                   # (Tp, D)
@@ -35,13 +43,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, true_len: int):
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale          # (Tp, Tp) f32
+        preferred_element_type=jnp.float32,
+        precision=_prec(q.dtype)) * scale                    # (Tp, Tp) f32
     tp = s.shape[-1]
     if true_len < tp:  # mask padded keys
         col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
         s = jnp.where(col < true_len, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
-    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+                precision=_prec(v.dtype))
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -62,14 +72,16 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         s = jax.lax.dot_general(
             q_ref[0][:, sl], k_ref[0][:, sl],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32,
+            precision=_prec(q_ref.dtype)) * scale
         if true_len < tp:
             s = jnp.where(col < true_len, s, -jnp.inf)
         ss.append(s)
     ps = [jax.nn.softmax(s, axis=-1) for s in ss]
     for sl, p in zip(sls, ps):
         o = jnp.dot(p.astype(v_ref.dtype), v_ref[0][:, sl],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=_prec(v_ref.dtype))
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
@@ -113,7 +125,11 @@ def fused_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
             vmem_limit_bytes=100 * 1024 * 1024,
             # batch grid steps are independent -> pipeline DMAs across them
             dimension_semantics=("parallel",),
-            allow_input_fusion=[True, True, True]),
+            # input fusion only for bf16: a fused f32 pad producer builds
+            # its (1, Tp, H*D) operand on the XLA fusion's OWN 16 MB scoped
+            # stack (not governed by vmem_limit_bytes above) and trips it
+            # at T=512 f32 — found by the round-5 on-TPU parity gate
+            allow_input_fusion=[q.dtype != jnp.float32] * 3),
     )(q, k, v)
     return out[:, :t]
 
@@ -132,14 +148,16 @@ def _packed_kernel_aligned(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         s = jax.lax.dot_general(
             q_ref[0][:, sl], k_ref[0][:, sl],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32,
+            precision=_prec(q_ref.dtype)) * scale
         if true_len < tp:
             s = jnp.where(col < true_len, s, -jnp.inf)
         ss.append(s)
     ps = [jax.nn.softmax(s, axis=-1) for s in ss]
     for sl, p in zip(sls, ps):
         o = jnp.dot(p.astype(v_ref.dtype), v_ref[0][:, sl],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=_prec(v_ref.dtype))
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 

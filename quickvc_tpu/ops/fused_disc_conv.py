@@ -56,9 +56,13 @@ def _fwd_kernel(x_ref, k_ref, b_ref, out_ref, *, rows, slope):
         # take the aligned [0, rows_pad) window.
         xs = pltpu.roll(x32, shift=x.shape[0] - dr, axis=0)[
             : out_ref.shape[1]].astype(x.dtype)
+        # f32 inputs keep true-f32 multiplicands (Mosaic's default f32 dot
+        # rounds to bf16 — round-5 on-TPU parity gate); no-op for bf16
         acc += jax.lax.dot_general(
             xs, k_ref[dr], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST
+                       if x.dtype == jnp.float32 else None))
     acc += b_ref[0].astype(jnp.float32)
     out_ref[0] = jnp.where(acc > 0, acc, slope * acc).astype(out_ref.dtype)
 
@@ -80,7 +84,10 @@ def _dw_kernel(x_ref, dym_ref, dw_ref, *, rows):
         # (c_in_t, c_out_t) = xs^T @ dym, contracting rows
         dw_ref[dr] += jax.lax.dot_general(
             xs, dym, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dw_ref.dtype)
+            preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST
+                       if x.dtype == jnp.float32 else None)
+        ).astype(dw_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

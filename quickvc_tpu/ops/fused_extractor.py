@@ -62,9 +62,31 @@ LANE = 128      # packed phase lanes (4 phases x 5 samples used, rest zero)
 PHASE = 8       # lane offset between consecutive phases
 
 
+def _erf(x: jax.Array) -> jax.Array:
+    """In-kernel erf: Abramowitz-Stegun 7.1.26 polynomial, |err| <= 1.5e-7.
+
+    Mosaic TPU lowering has no erf/erfc primitive (found by the round-5
+    on-TPU parity gate: exact-gelu lowered to erfc -> NotImplementedError;
+    interpret mode on CPU lowered it fine, masking the bug). exp IS
+    lowered, so the classic rational polynomial gives f32-grade accuracy
+    well inside the 5e-4 front-parity gate.
+    """
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu(x: jax.Array) -> jax.Array:
-    # mirror models/hubert.py:gelu without importing it (cycle-free)
-    return jax.nn.gelu(x, approximate=x.dtype == jnp.bfloat16)
+    # mirror models/hubert.py:gelu without importing it (cycle-free);
+    # exact (erf) gelu via the in-kernel polynomial above
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
+    return (0.5 * x * (1.0 + _erf(x * 0.7071067811865476))).astype(x.dtype)
 
 
 def _kernel(x_ref, scale_ref, shift_ref, w0e_ref, w0o_ref, w0e1_ref, w1_ref,
@@ -179,7 +201,13 @@ def fused_extractor_front(wav: jax.Array, w0: jax.Array, gamma: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, rows, ch), dt),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            # f32 inputs at TILE_U=1024 need ~33 MB of scoped VMEM (double-
+            # buffered packed/out blocks + three (1024, 512) activation
+            # tiles); the 16 MB default is a compiler cap, not the
+            # hardware's — same override as ops/fused_attention.py.
+            # Found by the round-5 on-TPU parity gate at (2, 160000) f32.
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(packed, scale[:, None, :], shift[:, None, :], w0e, w0o, w0e1,
       w1.astype(dt))
     return out[:, :n1]

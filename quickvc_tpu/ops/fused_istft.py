@@ -100,12 +100,17 @@ def _kernel(mag_hbm, phase_hbm, env_ref, wr_ref, wi_ref, out_ref,
         re_j = pltpu.roll(re, shift=(length - s0) % length, axis=1)[:, :TILE_P]
         im_j = pltpu.roll(im, shift=(length - s0) % length, axis=1)[:, :TILE_P]
         # contract the freq (sublane) dim: (freq, P) x (freq, hop) -> (P, hop)
+        # precision=HIGHEST: Mosaic's default f32 dot rounds multiplicands
+        # to bf16 (round-5 on-TPU parity gate); audio synthesis should not
+        # carry ~4e-3 relative waveform error from a 9-term DFT
         acc = jax.lax.dot_general(
             re_j, wr_ref[j], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         acc = acc + jax.lax.dot_general(
             im_j, wi_ref[j], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         y = acc if y is None else y + acc
     out_ref[:] = y[None] * env_ref[:]
 

@@ -107,12 +107,19 @@ def _kernel(chunks_hbm, wdft_ref, mel_ref, out_ref, scratch, sem, *, r, freq_pad
     zi = None
     for j in range(r):
         cj = rows[j : j + TILE_F]                       # (TILE_F, hop_pad)
-        acc = jnp.dot(cj, wdft_ref[j], preferred_element_type=jnp.float32)
+        # precision=HIGHEST: Mosaic's default f32 matmul rounds the
+        # multiplicands to bf16 on the MXU — ~1% spectrogram error, found
+        # by the round-5 on-TPU parity gate (interpret mode is exact f32
+        # and hid it). Same rationale as dsp/stft.py's _HI matmuls; the
+        # multi-pass cost is a fraction of the kernel's DMA-bound budget.
+        acc = jnp.dot(cj, wdft_ref[j], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         zi = acc if zi is None else zi + acc            # (TILE_F, 2*freq_pad)
     re = zi[:, :freq_pad]
     im = zi[:, freq_pad:]
     spec = jnp.sqrt(re * re + im * im + 1e-6)
-    mel = jnp.dot(spec, mel_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(spec, mel_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     out_ref[0] = jnp.log(jnp.clip(mel, min=1e-5))
 
 
@@ -128,7 +135,10 @@ def _spec_kernel(chunks_hbm, wdft_ref, out_ref, scratch, sem, *, r, freq_pad):
     zi = None
     for j in range(r):
         cj = rows[j : j + TILE_F]
-        acc = jnp.dot(cj, wdft_ref[j], preferred_element_type=jnp.float32)
+        # precision=HIGHEST — this kernel computes the TRAINING spec in
+        # compact mode; see the matching note in _kernel above
+        acc = jnp.dot(cj, wdft_ref[j], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         zi = acc if zi is None else zi + acc
     re = zi[:, :freq_pad]
     im = zi[:, freq_pad:]

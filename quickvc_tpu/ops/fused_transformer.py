@@ -44,8 +44,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _gelu(x: jax.Array) -> jax.Array:
-    # mirror models/hubert.py:gelu without importing it (cycle-free)
-    return jax.nn.gelu(x, approximate=x.dtype == jnp.bfloat16)
+    # mirror models/hubert.py:gelu; exact-erf gelu via the A&S polynomial —
+    # Mosaic has no erf/erfc primitive (round-5 on-TPU parity gate)
+    from quickvc_tpu.ops.fused_extractor import _erf
+
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
+    return (0.5 * x * (1.0 + _erf(x * 0.7071067811865476))).astype(x.dtype)
 
 
 def _layer_norm(x32: jax.Array, sc: jax.Array, bi: jax.Array,
@@ -62,8 +67,12 @@ def _kernel(x_ref, win_ref, bin_ref, wout_ref, bout_ref, ln1s_ref, ln1b_ref,
     tp, d = x.shape
     cdt = x.dtype
 
+    prec = jax.lax.Precision.HIGHEST if cdt == jnp.float32 else None
+    # f32 keeps true-f32 MXU multiplicands (Mosaic default rounds to bf16;
+    # round-5 on-TPU parity gate) — same rule as ops/fused_attention.py
     qkv = jax.lax.dot_general(x, win_ref[:], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
     qkv = (qkv + bin_ref[0].astype(jnp.float32)).astype(cdt)   # (Tp, 3D)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
@@ -77,7 +86,7 @@ def _kernel(x_ref, win_ref, bin_ref, wout_ref, bout_ref, ln1s_ref, ln1b_ref,
         s = jax.lax.dot_general(
             qkv[:, sl], qkv[:, d:][:, sl],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32, precision=prec) * scale
         if true_len < tp:
             s = jnp.where(col < true_len, s, -jnp.inf)
         ss.append(s)
@@ -85,19 +94,23 @@ def _kernel(x_ref, win_ref, bin_ref, wout_ref, bout_ref, ln1s_ref, ln1b_ref,
     acc = bout_ref[0].astype(jnp.float32) + jnp.zeros((tp, d), jnp.float32)
     for h, (sl, p) in enumerate(zip(sls, ps)):
         o_h = jnp.dot(p.astype(cdt), qkv[:, 2 * d:][:, sl],
-                      preferred_element_type=jnp.float32)     # (Tp, hd)
+                      preferred_element_type=jnp.float32,
+                      precision=prec)                          # (Tp, hd)
         acc = acc + jax.lax.dot_general(
             o_h.astype(cdt), wout_ref[pl.ds(h * head_dim, head_dim)],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=prec)
 
     x1_32 = _layer_norm(x.astype(jnp.float32) + acc, ln1s_ref[0], ln1b_ref[0])
     x1 = x1_32.astype(cdt)
 
     mid = jax.lax.dot_general(x1, w1_ref[:], (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
     mid = _gelu((mid + b1_ref[0].astype(jnp.float32)).astype(cdt))
     y = jax.lax.dot_general(mid, w2_ref[:], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
     y = y + b2_ref[0].astype(jnp.float32)
 
     out = _layer_norm(x1.astype(jnp.float32) + y, ln2s_ref[0], ln2b_ref[0])
