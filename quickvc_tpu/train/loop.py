@@ -158,18 +158,25 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
     resume_skip = global_step % max(1, len(loader))
     t_last = time.perf_counter()
     nonfinite_logs = 0
-    # Step-wall telemetry (train/telemetry.py): per-step walls measured at a
-    # bounded pipeline depth — after dispatching step k the loop fetches ONE
-    # scalar from step k-depth's metrics, which (a) is the only reliable
-    # completion sync on the tunnel (CLAUDE.md: block_until_ready can return
-    # early; a fetched scalar cannot) and (b) bounds the dispatch queue so
-    # per-iteration wall == steady-state pipeline wall, while the fetch
-    # round-trip hides under the `depth` steps still in flight.
+    # Step-wall telemetry (train/telemetry.py). Completion is observed by
+    # fetching ONE scalar from a `sync_depth`-delayed step's metrics — the
+    # only reliable sync on the tunnel (CLAUDE.md: block_until_ready can
+    # return early; a fetched scalar cannot). A fetch per STEP serializes
+    # the loop against the tunnel round trip (measured: wall ballooned
+    # >10x), so the fetch runs once per SYNC_EVERY steps and the tracker
+    # ingests the WINDOW MEAN wall per step; a stall inflates its window
+    # mean by stall/SYNC_EVERY — still far past the 5x-median trigger for
+    # the multi-minute stalls this exists to catch. Windows containing a
+    # log/eval/ckpt section are discarded (their cost is already visible
+    # in the logged dt) so the distribution stays pure pipeline wall.
     walls = StepWallTracker()
     from collections import deque as _deque
     sync_depth = max(2, cfg.train.prefetch_batches)
+    sync_every = 4
     inflight_metrics: _deque = _deque()
-    t_iter = time.perf_counter()
+    window_steps = 0
+    window_dirty = False
+    t_window = time.perf_counter()
 
     def device_batches(host_iter):
         """Prefetch: overlap host->device transfer with the running step.
@@ -224,17 +231,31 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
             with mesh:
                 state, metrics = step_fn(state, batch, rng)
             inflight_metrics.append(metrics["loss/g/total"])
-            if len(inflight_metrics) > sync_depth:
-                jax.device_get(inflight_metrics.popleft())
-            dt_step = time.perf_counter() - t_iter
-            stall_med = walls.add(dt_step)
-            if stall_med is not None:
-                logger.warning(
-                    "stall: step %d wall %.2f s > %.0fx running median %.3f s "
-                    "(stall #%d this run)", global_step, dt_step,
-                    walls.stall_factor, stall_med, walls.stalls)
+            while len(inflight_metrics) > sync_depth:
+                inflight_metrics.popleft()  # drop the handle, no fetch
+            window_steps += 1
+            if window_steps >= sync_every:
+                # sync on the OLDEST retained step (k - sync_depth + 1):
+                # by now it is long complete, so this fetch costs one wire
+                # round trip, not a pipeline drain
+                jax.device_get(inflight_metrics[0])
+                now = time.perf_counter()
+                if not window_dirty:
+                    dt_step = (now - t_window) / window_steps
+                    stall_med = walls.add(dt_step)
+                    if stall_med is not None:
+                        logger.warning(
+                            "stall: steps %d-%d mean wall %.2f s > %.0fx "
+                            "running median %.3f s (stall #%d this run)",
+                            global_step - window_steps + 1, global_step,
+                            dt_step, walls.stall_factor, stall_med,
+                            walls.stalls)
+                t_window = now
+                window_steps = 0
+                window_dirty = False
 
             if global_step % cfg.train.log_interval == 0:
+                window_dirty = True
                 m = jax.device_get(metrics)
                 # (frames, mels) first-item mel images computed in-step
                 # (reference train.py:174-178); everything else is scalars
@@ -299,6 +320,7 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                             np.asarray(imgs["img/mel_all"], np.float32).T),
                     })
             if cfg.train.eval_interval and global_step % cfg.train.eval_interval == 0:
+                window_dirty = True
                 if pid == 0:
                     mel_l1 = evaluate(global_step, cfg, net_g, state, eval_ds,
                                       basis, writer_eval)
@@ -312,6 +334,7 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                 ckpt.save(global_step, state)
             if (cfg.train.export_torch_every and pid == 0
                     and global_step % cfg.train.export_torch_every == 0):
+                window_dirty = True
                 _export_torch_checkpoints(cfg, state, global_step, epoch, lr)
                 logger.info("exported reference-layout G_%d.pth/D_%d.pth",
                             global_step, global_step)
@@ -320,10 +343,13 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                 ckpt.save(global_step, state)
                 ckpt.wait()
                 return
-            # restart the step-wall clock AFTER log/eval/ckpt/export so their
-            # cost never pollutes the pipeline-wall distribution (it is
-            # already visible in the logged dt-since-last-log)
-            t_iter = time.perf_counter()
+            if window_dirty:
+                # discard the partial window around a log/eval/ckpt/export
+                # section so its cost never pollutes the pipeline-wall
+                # distribution (it is already visible in the logged dt)
+                t_window = time.perf_counter()
+                window_steps = 0
+                window_dirty = False
         logger.info("====> Epoch %d done", epoch)
     ckpt.wait()
 

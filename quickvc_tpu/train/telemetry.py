@@ -8,8 +8,12 @@ inside the round-4 flagship run was only found by reading raw logs
 (BENCH.md "train.py wall-clock at production shape").
 
 ``StepWallTracker`` is pure host-side bookkeeping — the loop feeds it the
-wall time of each completed iteration (which, with async dispatch, is the
-steady-state pipeline wall: max(device step, H2D, host loader)). It keeps
+per-step MEAN wall of each sync window (sync_every=4 steps; a per-step
+completion fetch serializes the loop against the tunnel round trip —
+measured >10x wall inflation — so completion is observed once per window
+on a pipeline-delayed step's metrics scalar). With async dispatch this is
+the steady-state pipeline wall: max(device step, H2D, host loader). It
+keeps
 
 - a bounded window of recent walls for a *running median* (robust to the
   occasional stall entering the window), and
