@@ -173,7 +173,8 @@ def adam_moment_trees(opt_state):
 def export_adamw_state(ordered_param_names, mu_sd: Mapping[str, np.ndarray],
                        nu_sd: Mapping[str, np.ndarray], count: int,
                        learning_rate: float, betas=(0.8, 0.99),
-                       eps: float = 1e-9, weight_decay: float = 0.01) -> dict:
+                       eps: float = 1e-9, weight_decay: float = 0.01,
+                       initial_lr: float | None = None) -> dict:
     """Assemble a ``torch.optim.AdamW.state_dict()`` from exported moments.
 
     ``ordered_param_names`` is ``[n for n, _ in model.named_parameters()]``
@@ -199,6 +200,11 @@ def export_adamw_state(ordered_param_names, mu_sd: Mapping[str, np.ndarray],
         "state": state,
         "param_groups": [{
             "lr": float(learning_rate),
+            # the reference resumes its ExponentialLR with last_epoch >= 0
+            # (train.py:71), which requires the checkpointed optimizer to
+            # carry the scheduler-stamped initial_lr
+            "initial_lr": float(initial_lr if initial_lr is not None
+                                else learning_rate),
             "betas": tuple(float(b) for b in betas),
             "eps": float(eps),
             "weight_decay": float(weight_decay),

@@ -71,7 +71,7 @@ def main() -> int:
              for m in STEP_RE.finditer(log)]
     resumes = [int(m.group(1)) for m in
                re.finditer(r"Resumed from checkpoint at step (\d+)", log)]
-    stalls = re.findall(r"stall: step (\d+) wall ([\d.]+) s", log)
+    stalls = re.findall(r"stall: steps (\d+)-\d+ mean wall ([\d.]+) s", log)
     unhealthy = len(re.findall(r"unhealthy step", log))
 
     tb = scalars_from_tb(md, ["time/step_p50", "time/step_p95",

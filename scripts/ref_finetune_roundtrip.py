@@ -110,6 +110,20 @@ def main() -> int:
 
     # --- 2. reference models give the authoritative param order ---------
     install_static_shims()
+    # data_utils_new_new.py imports speechcorpusy at module top (used only
+    # for its corpus-preset mode; our runs use txt filelists) — stub it
+    import types
+
+    if "speechcorpusy" not in sys.modules:
+        scy = types.ModuleType("speechcorpusy")
+
+        def _no_preset(*a, **k):
+            raise RuntimeError("speechcorpusy preset mode not available")
+
+        scy.load_preset = _no_preset
+        scy.__spec__ = __import__("importlib").machinery.ModuleSpec(
+            "speechcorpusy", None)
+        sys.modules["speechcorpusy"] = scy
     orig_tensor_cuda, orig_module_cuda = torch.Tensor.cuda, torch.nn.Module.cuda
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
@@ -176,6 +190,17 @@ def main() -> int:
                       "validation_files": eval_list})
     cfg_path = os.path.join(wd, "ref_config.json")
     json.dump(d, open(cfg_path, "w"), indent=1)
+
+    # the reference's plot_spectrogram_to_numpy calls the long-removed
+    # FigureCanvasAgg.tostring_rgb (utils.py:253) — restore it on new
+    # matplotlib so the reference's TB image logging works unmodified
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+
+    if not hasattr(FigureCanvasAgg, "tostring_rgb"):
+        FigureCanvasAgg.tostring_rgb = lambda self: np.asarray(
+            self.buffer_rgba())[..., :3].tobytes()
 
     # --- 4. run the unmodified reference train.py ------------------------
     loads: list[tuple[str, int]] = []

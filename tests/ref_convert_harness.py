@@ -63,7 +63,29 @@ def install_static_shims() -> None:
                                    center=True, normalized=False, onesided=True,
                                    length=length)
 
+        class Spectrogram(torch.nn.Module):
+            # reference losses.py:98 uses Spectrogram(fft, win, hop,
+            # power=1.0) — torchaudio's positional order (n_fft,
+            # win_length, hop_length); center-padded magnitude STFT
+            def __init__(self, n_fft, win_length=None, hop_length=None,
+                         power=1.0):
+                super().__init__()
+                self.n_fft = n_fft
+                self.win_length = win_length or n_fft
+                self.hop_length = hop_length or self.win_length // 2
+                self.power = power
+                self.register_buffer("window", torch.hann_window(self.win_length))
+
+            def forward(self, x):
+                z = torch.stft(x, self.n_fft, hop_length=self.hop_length,
+                               win_length=self.win_length, window=self.window,
+                               center=True, normalized=False, onesided=True,
+                               return_complex=True)
+                mag = z.abs()
+                return mag if self.power == 1.0 else mag ** self.power
+
         ta_tf.InverseSpectrogram = InverseSpectrogram
+        ta_tf.Spectrogram = Spectrogram
         ta.transforms = ta_tf
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.transforms"] = ta_tf
