@@ -110,7 +110,15 @@ def main():
                         help="chunked lax.scan synthesis: one compile for any "
                              "utterance length, constant memory")
     parser.add_argument("--chunk-frames", type=int, default=96)
-    parser.add_argument("--context-frames", type=int, default=48)
+    parser.add_argument("--context-frames", type=int, default=96,
+                        help="context frames on each side of a chunk; must "
+                             "cover the full-size model's receptive field "
+                             "(~75 frames: enc_p 16-layer WN +-32, flow 4x4 "
+                             "couplings +-32, decoder ~+-10) for the chunk "
+                             "interior to match the batch path exactly. The "
+                             "old default 48 was only enough for the "
+                             "shallow test models — found by the round-5 "
+                             "on-TPU full-size parity run (STREAMING_TPU)")
     parser.add_argument("--bucket-seconds", type=float, default=1.0,
                         help="pad utterances up to this grain so the whole "
                              "batch costs a handful of XLA compiles (same "

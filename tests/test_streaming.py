@@ -61,3 +61,26 @@ def test_streaming_length_not_multiple_of_chunk(rng):
                           hop_length=320, chunk=32, context=16)
     assert out.shape == (1, f * 320)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_cli_context_covers_fullsize_receptive_field():
+    """--context-frames default must cover the default (full-size) model's
+    infer-path receptive field, or chunk interiors silently diverge from
+    the batch path — found at full size on the real chip (round-5
+    STREAMING_TPU artifact; the old default 48 was only enough for the
+    shallow test models above)."""
+    import os
+    import re
+
+    from quickvc_tpu.config import ModelConfig
+
+    mc = ModelConfig()
+    # per-side receptive field in frames: enc_p WN (k=5, dilation 1) is
+    # +-2/layer; each flow coupling's WN likewise, couplings sequential;
+    # decoder (conv_pre k7 + MRF at the upsampled rate) ~+-12 frames
+    rf = 2 * mc.enc_wn_layers + 2 * mc.n_flows * mc.flow_wn_layers + 12
+    src = open(os.path.join(os.path.dirname(__file__), "..",
+                            "convert.py")).read()
+    m = re.search(r'--context-frames", type=int, default=(\d+)', src)
+    assert m, "convert.py --context-frames default not found"
+    assert int(m.group(1)) >= rf, (int(m.group(1)), rf)
