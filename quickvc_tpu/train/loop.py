@@ -170,6 +170,11 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
     # log/eval/ckpt section are discarded (their cost is already visible
     # in the logged dt) so the distribution stays pure pipeline wall.
     walls = StepWallTracker()
+    # full-wedge watchdog: the stall detector needs a COMPLETED window, so
+    # a total hang (tunnel wedge — observed 8 min silent in the round-5
+    # flagship) is invisible to it; the watchdog thread warns on frozen
+    # progress (observability only, never kills)
+    walls.watchdog(logger, lambda: walls.total_steps)
     from collections import deque as _deque
     sync_depth = max(2, cfg.train.prefetch_batches)
     sync_every = 4

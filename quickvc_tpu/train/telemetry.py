@@ -41,6 +41,10 @@ class StepWallTracker:
         self.stalls = 0          # lifetime count of flagged stalls
         self.total_steps = 0
 
+    def median(self) -> float | None:
+        """Running median, or None before warmup (watchdog threshold)."""
+        return self._median() if len(self._recent) >= self.warmup else None
+
     def _median(self) -> float:
         xs = sorted(self._recent)
         n = len(xs)
@@ -64,6 +68,49 @@ class StepWallTracker:
         self._since_log.append(dt)
         self.total_steps += 1
         return stall_median
+
+    def watchdog(self, logger, get_progress, interval: float = 30.0,
+                 factor: float = 20.0, floor: float = 120.0):
+        """Daemon thread that WARNs when no progress happens for a long time.
+
+        The stall detector above only sees COMPLETED windows — a full wedge
+        (tunnel hang, deadlock) produces no samples and stays invisible
+        (observed: an 8-minute wedge in the round-5 durability flagship was
+        silent). The watchdog compares wall time since the last observed
+        progress value change against max(floor, factor x running median x
+        sync window) and logs a WARNING (repeating with backoff) while the
+        loop is frozen. Observability only — it never kills anything.
+
+        ``get_progress`` returns any value that changes when the loop makes
+        progress (e.g. the tracker's ``total_steps``).
+        """
+        import threading
+        import time as _time
+
+        def body():
+            last = get_progress()
+            t_last = _time.monotonic()
+            warned = 0
+            while True:
+                _time.sleep(interval)
+                cur = get_progress()
+                if cur != last:
+                    last, t_last, warned = cur, _time.monotonic(), 0
+                    continue
+                frozen = _time.monotonic() - t_last
+                med = self.median()
+                limit = max(floor, factor * (med or 0.0) * 4)
+                if frozen > limit * (2 ** warned):
+                    logger.warning(
+                        "watchdog: no training progress for %.0f s "
+                        "(running median %.2f s/step) — pipeline wedged?",
+                        frozen, med if med is not None else float("nan"))
+                    warned += 1
+
+        t = threading.Thread(target=body, daemon=True,
+                             name="stepwall-watchdog")
+        t.start()
+        return t
 
     def summary(self) -> dict[str, float]:
         """Percentile scalars over the steps since the last summary; resets

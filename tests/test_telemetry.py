@@ -74,3 +74,36 @@ def test_percentiles_match_numpy_convention_closely():
     s = t.summary()
     assert abs(s["time/step_p50"] - np.percentile(xs, 50)) < 0.02
     assert abs(s["time/step_p95"] - np.percentile(xs, 95)) < 0.02
+
+
+def test_median_none_before_warmup():
+    t = StepWallTracker(warmup=5)
+    for _ in range(4):
+        t.add(1.0)
+    assert t.median() is None
+    t.add(1.0)
+    assert t.median() == 1.0
+
+
+def test_watchdog_warns_on_frozen_progress():
+    """A full wedge (no completed windows at all) must produce a WARNING —
+    the stall detector alone cannot see it (round-5 flagship: an 8-minute
+    tunnel wedge was silent)."""
+    import logging
+    import time
+
+    t = StepWallTracker(warmup=1)
+    t.add(0.01)
+    records = []
+
+    class Cap(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger = logging.getLogger("watchdog-test")
+    logger.addHandler(Cap())
+    logger.setLevel(logging.WARNING)
+    t.watchdog(logger, lambda: t.total_steps, interval=0.05, factor=1.0,
+               floor=0.1)
+    time.sleep(1.0)  # progress frozen the whole time
+    assert any("watchdog: no training progress" in m for m in records)
