@@ -170,11 +170,6 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
     # log/eval/ckpt section are discarded (their cost is already visible
     # in the logged dt) so the distribution stays pure pipeline wall.
     walls = StepWallTracker()
-    # full-wedge watchdog: the stall detector needs a COMPLETED window, so
-    # a total hang (tunnel wedge — observed 8 min silent in the round-5
-    # flagship) is invisible to it; the watchdog thread warns on frozen
-    # progress (observability only, never kills)
-    walls.watchdog(logger, lambda: walls.total_steps)
     from collections import deque as _deque
     sync_depth = max(2, cfg.train.prefetch_batches)
     sync_every = 4
@@ -207,156 +202,166 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
         while pending:
             yield pending.popleft()
 
-    profiling = False
-    for epoch in range(epoch0, cfg.train.epochs + 1):
-        sampler.set_epoch(epoch)
-        # Per-epoch exponential decay (reference train.py:71-72,80-81) via the
-        # injected hyperparam — no recompilation.
-        lr = cfg.train.learning_rate * (cfg.train.lr_decay ** (epoch - 1))
-        # two distinct arrays: aliasing one into both donated leaves trips
-        # XLA's "donate the same buffer twice" check
-        state.g_opt.hyperparams["learning_rate"] = _place(
-            np.asarray(lr, np.float32), rep)
-        state.d_opt.hyperparams["learning_rate"] = _place(
-            np.asarray(lr, np.float32), rep)
-        if epoch == epoch0 and resume_skip:
-            loader.skip_next_iter(resume_skip)
-        for batch in device_batches(loader):
-            # Profiling harness (reference has only a commented-out profiler,
-            # train.py:109-115): trace [5, 5 + profile_steps) after warmup.
-            if profile_steps and global_step == 5 and not profiling:
-                jax.profiler.start_trace(cfg.model_dir + "/profile")
-                profiling = True
-            if profiling and global_step == 5 + profile_steps:
-                jax.profiler.stop_trace()
-                profiling = False
-                logger.info("profile trace written to %s/profile", cfg.model_dir)
-            rng = _place(np.asarray(jax.random.fold_in(base_key, global_step)),
-                         rep)
-            with mesh:
-                state, metrics = step_fn(state, batch, rng)
-            inflight_metrics.append(metrics["loss/g/total"])
-            while len(inflight_metrics) > sync_depth:
-                inflight_metrics.popleft()  # drop the handle, no fetch
-            window_steps += 1
-            if window_steps >= sync_every:
-                # sync on the OLDEST retained step (k - sync_depth + 1):
-                # by now it is long complete, so this fetch costs one wire
-                # round trip, not a pipeline drain
-                jax.device_get(inflight_metrics[0])
-                now = time.perf_counter()
-                if not window_dirty:
-                    dt_step = (now - t_window) / window_steps
-                    stall_med = walls.add(dt_step)
-                    if stall_med is not None:
-                        logger.warning(
-                            "stall: steps %d-%d mean wall %.2f s > %.0fx "
-                            "running median %.3f s (stall #%d this run)",
-                            global_step - window_steps + 1, global_step,
-                            dt_step, walls.stall_factor, stall_med,
-                            walls.stalls)
-                t_window = now
-                window_steps = 0
-                window_dirty = False
+    # full-wedge watchdog: the stall detector needs a COMPLETED window,
+    # so a total hang (tunnel wedge - observed 8 min silent in the
+    # round-5 flagship) is invisible to it; the watchdog thread warns on
+    # frozen progress (observability only, never kills). Stopped in the
+    # finally so it cannot outlive this run (threads leaked across
+    # pytest's many run() calls otherwise).
+    wd_stop = walls.watchdog(logger, lambda: walls.total_steps)
+    try:
+        profiling = False
+        for epoch in range(epoch0, cfg.train.epochs + 1):
+            sampler.set_epoch(epoch)
+            # Per-epoch exponential decay (reference train.py:71-72,80-81) via the
+            # injected hyperparam — no recompilation.
+            lr = cfg.train.learning_rate * (cfg.train.lr_decay ** (epoch - 1))
+            # two distinct arrays: aliasing one into both donated leaves trips
+            # XLA's "donate the same buffer twice" check
+            state.g_opt.hyperparams["learning_rate"] = _place(
+                np.asarray(lr, np.float32), rep)
+            state.d_opt.hyperparams["learning_rate"] = _place(
+                np.asarray(lr, np.float32), rep)
+            if epoch == epoch0 and resume_skip:
+                loader.skip_next_iter(resume_skip)
+            for batch in device_batches(loader):
+                # Profiling harness (reference has only a commented-out profiler,
+                # train.py:109-115): trace [5, 5 + profile_steps) after warmup.
+                if profile_steps and global_step == 5 and not profiling:
+                    jax.profiler.start_trace(cfg.model_dir + "/profile")
+                    profiling = True
+                if profiling and global_step == 5 + profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info("profile trace written to %s/profile", cfg.model_dir)
+                rng = _place(np.asarray(jax.random.fold_in(base_key, global_step)),
+                             rep)
+                with mesh:
+                    state, metrics = step_fn(state, batch, rng)
+                inflight_metrics.append(metrics["loss/g/total"])
+                while len(inflight_metrics) > sync_depth:
+                    inflight_metrics.popleft()  # drop the handle, no fetch
+                window_steps += 1
+                if window_steps >= sync_every:
+                    # sync on the OLDEST retained step (k - sync_depth + 1):
+                    # by now it is long complete, so this fetch costs one wire
+                    # round trip, not a pipeline drain
+                    jax.device_get(inflight_metrics[0])
+                    now = time.perf_counter()
+                    if not window_dirty:
+                        dt_step = (now - t_window) / window_steps
+                        stall_med = walls.add(dt_step)
+                        if stall_med is not None:
+                            logger.warning(
+                                "stall: steps %d-%d mean wall %.2f s > %.0fx "
+                                "running median %.3f s (stall #%d this run)",
+                                global_step - window_steps + 1, global_step,
+                                dt_step, walls.stall_factor, stall_med,
+                                walls.stalls)
+                    t_window = now
+                    window_steps = 0
+                    window_dirty = False
 
-            if global_step % cfg.train.log_interval == 0:
-                window_dirty = True
-                m = jax.device_get(metrics)
-                # (frames, mels) first-item mel images computed in-step
-                # (reference train.py:174-178); everything else is scalars
-                imgs = {k: m.pop(k) for k in list(m) if k.startswith("img/")}
-                dt = time.perf_counter() - t_last
-                t_last = time.perf_counter()
-                g_total = float(m["loss/g/total"])
-                d_total = float(m["loss/d/total"])
-                # Failure detection. With guard_nonfinite the step itself
-                # skips poisoned updates (params stay finite), so a
-                # non-finite loss is survivable — warn and keep going, but
-                # abort if EVERY logged step in a row is unhealthy (the
-                # data/model is genuinely broken, not one bad batch).
-                # "Unhealthy" is non-finite losses OR a guard-skipped update:
-                # bf16 can overflow only in the backward pass, leaving losses
-                # finite while every update is silently dropped — the
-                # guard/{d,g}_skipped metrics are the only witness of that.
-                # Without the guard, abort immediately rather than write
-                # poisoned checkpoints (resume picks up the last good one).
-                d_skip = float(m.get("guard/d_skipped", 0.0))
-                g_skip = float(m.get("guard/g_skipped", 0.0))
-                losses_finite = np.isfinite(g_total) and np.isfinite(d_total)
-                if not losses_finite or d_skip or g_skip:
-                    nonfinite_logs += 1
-                    # Either guard protects params on a skipped update, so
-                    # an unhealthy logged step is survivable under both.
-                    guarded = (cfg.train.guard_nonfinite
-                               or cfg.train.guard_loss_max > 0)
-                    if guarded and nonfinite_logs < 10:
-                        logger.warning(
-                            "unhealthy step %d (g=%s d=%s, guard skipped: "
-                            "d=%g g=%g); params untouched, continuing",
-                            global_step, g_total, d_total, d_skip, g_skip)
+                if global_step % cfg.train.log_interval == 0:
+                    window_dirty = True
+                    m = jax.device_get(metrics)
+                    # (frames, mels) first-item mel images computed in-step
+                    # (reference train.py:174-178); everything else is scalars
+                    imgs = {k: m.pop(k) for k in list(m) if k.startswith("img/")}
+                    dt = time.perf_counter() - t_last
+                    t_last = time.perf_counter()
+                    g_total = float(m["loss/g/total"])
+                    d_total = float(m["loss/d/total"])
+                    # Failure detection. With guard_nonfinite the step itself
+                    # skips poisoned updates (params stay finite), so a
+                    # non-finite loss is survivable — warn and keep going, but
+                    # abort if EVERY logged step in a row is unhealthy (the
+                    # data/model is genuinely broken, not one bad batch).
+                    # "Unhealthy" is non-finite losses OR a guard-skipped update:
+                    # bf16 can overflow only in the backward pass, leaving losses
+                    # finite while every update is silently dropped — the
+                    # guard/{d,g}_skipped metrics are the only witness of that.
+                    # Without the guard, abort immediately rather than write
+                    # poisoned checkpoints (resume picks up the last good one).
+                    d_skip = float(m.get("guard/d_skipped", 0.0))
+                    g_skip = float(m.get("guard/g_skipped", 0.0))
+                    losses_finite = np.isfinite(g_total) and np.isfinite(d_total)
+                    if not losses_finite or d_skip or g_skip:
+                        nonfinite_logs += 1
+                        # Either guard protects params on a skipped update, so
+                        # an unhealthy logged step is survivable under both.
+                        guarded = (cfg.train.guard_nonfinite
+                                   or cfg.train.guard_loss_max > 0)
+                        if guarded and nonfinite_logs < 10:
+                            logger.warning(
+                                "unhealthy step %d (g=%s d=%s, guard skipped: "
+                                "d=%g g=%g); params untouched, continuing",
+                                global_step, g_total, d_total, d_skip, g_skip)
+                        else:
+                            ckpt.wait()
+                            raise FloatingPointError(
+                                f"unhealthy training at step {global_step}: "
+                                f"g={g_total} d={d_total} "
+                                f"d_skipped={d_skip} g_skipped={g_skip}"
+                                + (" for 10 consecutive logged steps" if guarded
+                                   else "")
+                                + "; restart resumes from the last finite "
+                                "checkpoint")
                     else:
-                        ckpt.wait()
-                        raise FloatingPointError(
-                            f"unhealthy training at step {global_step}: "
-                            f"g={g_total} d={d_total} "
-                            f"d_skipped={d_skip} g_skipped={g_skip}"
-                            + (" for 10 consecutive logged steps" if guarded
-                               else "")
-                            + "; restart resumes from the last finite "
-                            "checkpoint")
-                else:
-                    nonfinite_logs = 0
-                logger.info("epoch %d step %d lr %.3e | g %.3f d %.3f mel %.3f kl %.3f "
-                            "(%.2f s since last log)", epoch, global_step, lr,
-                            g_total, d_total,
-                            float(m["loss/g/mel"]), float(m["loss/g/kl"]), dt)
-                if writer:
-                    # time/step_p50|p95|max over the steps since the last
-                    # log — pipeline wall only (eval/ckpt/log time excluded
-                    # by resetting t_iter at the end of the loop body)
-                    writer.scalars(global_step, m | walls.summary())
-                    # reference TB image tags (train.py:174-178)
-                    writer.images(global_step, {
-                        "slice/mel_org": plot_spectrogram(
-                            np.asarray(imgs["img/mel_org"], np.float32).T),
-                        "slice/mel_gen": plot_spectrogram(
-                            np.asarray(imgs["img/mel_gen"], np.float32).T),
-                        "all/mel": plot_spectrogram(
-                            np.asarray(imgs["img/mel_all"], np.float32).T),
-                    })
-            if cfg.train.eval_interval and global_step % cfg.train.eval_interval == 0:
-                window_dirty = True
-                if pid == 0:
-                    mel_l1 = evaluate(global_step, cfg, net_g, state, eval_ds,
-                                      basis, writer_eval)
-                    if mel_l1 is not None:
-                        logger.info("eval step %d | mel_l1 %.4f",
-                                    global_step, mel_l1)
-                # All processes call save (orbax coordinates the multi-host
-                # write); the state stays a sharded jax tree — orbax snapshots
-                # it to host before returning, so the next step's donation of
-                # these buffers is safe.
-                ckpt.save(global_step, state)
-            if (cfg.train.export_torch_every and pid == 0
-                    and global_step % cfg.train.export_torch_every == 0):
-                window_dirty = True
-                _export_torch_checkpoints(cfg, state, global_step, epoch, lr)
-                logger.info("exported reference-layout G_%d.pth/D_%d.pth",
-                            global_step, global_step)
-            global_step += 1
-            if max_steps is not None and global_step >= max_steps:
-                ckpt.save(global_step, state)
-                ckpt.wait()
-                return
-            if window_dirty:
-                # discard the partial window around a log/eval/ckpt/export
-                # section so its cost never pollutes the pipeline-wall
-                # distribution (it is already visible in the logged dt)
-                t_window = time.perf_counter()
-                window_steps = 0
-                window_dirty = False
-        logger.info("====> Epoch %d done", epoch)
-    ckpt.wait()
+                        nonfinite_logs = 0
+                    logger.info("epoch %d step %d lr %.3e | g %.3f d %.3f mel %.3f kl %.3f "
+                                "(%.2f s since last log)", epoch, global_step, lr,
+                                g_total, d_total,
+                                float(m["loss/g/mel"]), float(m["loss/g/kl"]), dt)
+                    if writer:
+                        # time/step_p50|p95|max over the steps since the last
+                        # log — pipeline wall only (eval/ckpt/log time excluded
+                        # by resetting t_iter at the end of the loop body)
+                        writer.scalars(global_step, m | walls.summary())
+                        # reference TB image tags (train.py:174-178)
+                        writer.images(global_step, {
+                            "slice/mel_org": plot_spectrogram(
+                                np.asarray(imgs["img/mel_org"], np.float32).T),
+                            "slice/mel_gen": plot_spectrogram(
+                                np.asarray(imgs["img/mel_gen"], np.float32).T),
+                            "all/mel": plot_spectrogram(
+                                np.asarray(imgs["img/mel_all"], np.float32).T),
+                        })
+                if cfg.train.eval_interval and global_step % cfg.train.eval_interval == 0:
+                    window_dirty = True
+                    if pid == 0:
+                        mel_l1 = evaluate(global_step, cfg, net_g, state, eval_ds,
+                                          basis, writer_eval)
+                        if mel_l1 is not None:
+                            logger.info("eval step %d | mel_l1 %.4f",
+                                        global_step, mel_l1)
+                    # All processes call save (orbax coordinates the multi-host
+                    # write); the state stays a sharded jax tree — orbax snapshots
+                    # it to host before returning, so the next step's donation of
+                    # these buffers is safe.
+                    ckpt.save(global_step, state)
+                if (cfg.train.export_torch_every and pid == 0
+                        and global_step % cfg.train.export_torch_every == 0):
+                    window_dirty = True
+                    _export_torch_checkpoints(cfg, state, global_step, epoch, lr)
+                    logger.info("exported reference-layout G_%d.pth/D_%d.pth",
+                                global_step, global_step)
+                global_step += 1
+                if max_steps is not None and global_step >= max_steps:
+                    ckpt.save(global_step, state)
+                    ckpt.wait()
+                    return
+                if window_dirty:
+                    # discard the partial window around a log/eval/ckpt/export
+                    # section so its cost never pollutes the pipeline-wall
+                    # distribution (it is already visible in the logged dt)
+                    t_window = time.perf_counter()
+                    window_steps = 0
+                    window_dirty = False
+            logger.info("====> Epoch %d done", epoch)
+        ckpt.wait()
+    finally:
+        wd_stop.set()
 
 
 def _export_torch_checkpoints(cfg: QuickVCConfig, state, global_step: int,

@@ -70,7 +70,7 @@ class StepWallTracker:
         return stall_median
 
     def watchdog(self, logger, get_progress, interval: float = 30.0,
-                 factor: float = 20.0, floor: float = 120.0):
+                 factor: float = 20.0, floor: float = 300.0):
         """Daemon thread that WARNs when no progress happens for a long time.
 
         The stall detector above only sees COMPLETED windows — a full wedge
@@ -79,20 +79,26 @@ class StepWallTracker:
         silent). The watchdog compares wall time since the last observed
         progress value change against max(floor, factor x running median x
         sync window) and logs a WARNING (repeating with backoff) while the
-        loop is frozen. Observability only — it never kills anything.
+        loop is frozen. Observability only — it never kills anything; the
+        floor (300 s) sits above a cold train-step compile, so startup is
+        quiet.
 
         ``get_progress`` returns any value that changes when the loop makes
-        progress (e.g. the tracker's ``total_steps``).
+        progress (e.g. the tracker's ``total_steps``). Returns a
+        ``threading.Event``; the owning loop MUST ``set()`` it when done
+        (run() does, in a finally) — otherwise the thread outlives the run
+        and warns about a tracker that is merely finished, not wedged.
         """
         import threading
         import time as _time
+
+        stop = threading.Event()
 
         def body():
             last = get_progress()
             t_last = _time.monotonic()
             warned = 0
-            while True:
-                _time.sleep(interval)
+            while not stop.wait(interval):
                 cur = get_progress()
                 if cur != last:
                     last, t_last, warned = cur, _time.monotonic(), 0
@@ -103,14 +109,13 @@ class StepWallTracker:
                 if frozen > limit * (2 ** warned):
                     logger.warning(
                         "watchdog: no training progress for %.0f s "
-                        "(running median %.2f s/step) — pipeline wedged?",
-                        frozen, med if med is not None else float("nan"))
+                        "(running median %s s/step) — pipeline wedged?",
+                        frozen, f"{med:.2f}" if med is not None else "n/a")
                     warned += 1
 
-        t = threading.Thread(target=body, daemon=True,
-                             name="stepwall-watchdog")
-        t.start()
-        return t
+        threading.Thread(target=body, daemon=True,
+                         name="stepwall-watchdog").start()
+        return stop
 
     def summary(self) -> dict[str, float]:
         """Percentile scalars over the steps since the last summary; resets
