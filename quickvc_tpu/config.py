@@ -125,6 +125,17 @@ class TrainConfig:
                                     # (utils.py:181-193), which at 1000-step
                                     # cadence over 1.2M steps is a policy
                                     # choice — make it configurable
+    max_host_rss_gb: float = 0.0    # if >0, the loop checkpoints and exits
+                                    # with RESTART_EXIT_CODE (75) when this
+                                    # process's RSS crosses the limit —
+                                    # loss-free restart point for host-side
+                                    # leaks (the axon tunnel client stages
+                                    # ~90 MB/step; resume is bit-exact).
+                                    # scripts/supervise_train.py relaunches
+                                    # automatically. Checked at log_interval
+                                    # cadence; single-process runs only
+                                    # (multi-process restarts belong to the
+                                    # external launcher)
     export_torch_every: int = 0     # if >0, also write reference-layout
                                     # G_<step>.pth/D_<step>.pth every N steps
                                     # (reference train.py:181-186 behavior)

@@ -25,7 +25,11 @@ from quickvc_tpu.models.synthesizer import SynthesizerTrn
 from quickvc_tpu.parallel import batch_sharding, data_parallel_mesh, replicated
 from quickvc_tpu.train.state import create_train_state, param_count
 from quickvc_tpu.train.step import make_train_step
-from quickvc_tpu.train.telemetry import StepWallTracker
+from quickvc_tpu.train.telemetry import (
+    HostMemoryRestart,
+    StepWallTracker,
+    host_rss_gb,
+)
 from quickvc_tpu.utils.checkpoint import CheckpointManager
 from quickvc_tpu.utils.logging import Summarizer, get_logger, plot_spectrogram
 
@@ -80,6 +84,11 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
     state, net_g, net_d = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed))
     logger.info("Generator params: %.2fM | Discriminator params: %.2fM",
                 param_count(state.g_params) / 1e6, param_count(state.d_params) / 1e6)
+    if cfg.train.max_host_rss_gb > 0 and n_proc > 1:
+        logger.warning(
+            "train.max_host_rss_gb is single-process only (a lone rank "
+            "exiting would wedge the collective); RSS is still logged, but "
+            "restarts belong to the external launcher in multi-process runs")
     # State sharding: fully replicated, or ZeRO-1 (AdamW moments sharded
     # over the data axis; parallel/mesh.py:zero1_state_sharding).
     if cfg.train.zero_opt_state:
@@ -313,11 +322,13 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                                 "(%.2f s since last log)", epoch, global_step, lr,
                                 g_total, d_total,
                                 float(m["loss/g/mel"]), float(m["loss/g/kl"]), dt)
+                    rss = host_rss_gb()
                     if writer:
                         # time/step_p50|p95|max over the steps since the last
                         # log — pipeline wall only (eval/ckpt/log time excluded
                         # by resetting t_iter at the end of the loop body)
-                        writer.scalars(global_step, m | walls.summary())
+                        writer.scalars(global_step, m | walls.summary()
+                                       | {"host/rss_gb": rss})
                         # reference TB image tags (train.py:174-178)
                         writer.images(global_step, {
                             "slice/mel_org": plot_spectrogram(
@@ -327,6 +338,25 @@ def run(cfg: QuickVCConfig, max_steps: int | None = None,
                             "all/mel": plot_spectrogram(
                                 np.asarray(imgs["img/mel_all"], np.float32).T),
                         })
+                    if (cfg.train.max_host_rss_gb > 0 and n_proc == 1
+                            and rss > cfg.train.max_host_rss_gb):
+                        # Graceful restart point for host-side memory growth
+                        # (the axon tunnel client leaks ~90 MB/step of H2D
+                        # staging — environment, BENCH.md "Durability
+                        # flagship"): checkpoint, then raise; train.py turns
+                        # this into RESTART_EXIT_CODE and
+                        # scripts/supervise_train.py relaunches. Resume is
+                        # bit-exact, so the restart is trajectory-free.
+                        ckpt.wait()
+                        if ckpt.latest_step() != global_step:
+                            ckpt.save(global_step, state)
+                            ckpt.wait()
+                        logger.warning(
+                            "host RSS %.2f GB > limit %.2f GB: checkpointed "
+                            "at step %d, requesting restart", rss,
+                            cfg.train.max_host_rss_gb, global_step)
+                        raise HostMemoryRestart(
+                            rss, cfg.train.max_host_rss_gb, global_step)
                 if cfg.train.eval_interval and global_step % cfg.train.eval_interval == 0:
                     window_dirty = True
                     if pid == 0:

@@ -30,6 +30,52 @@ from __future__ import annotations
 
 from collections import deque
 
+#: Process exit code meaning "checkpointed cleanly, relaunch me"
+#: (BSD EX_TEMPFAIL). train.py exits with it on HostMemoryRestart;
+#: scripts/supervise_train.py relaunches while the child returns it.
+RESTART_EXIT_CODE = 75
+
+
+class HostMemoryRestart(RuntimeError):
+    """Raised by the train loop after it has CHECKPOINTED, when host RSS
+    crossed ``train.max_host_rss_gb``. Not an error: the durability runs
+    measured ~90 MB/step of host growth from the remote-tunnel client's
+    H2D staging (environment, not framework — a CPU-backend control run of
+    the same loop is flat; BENCH.md "Durability flagship"), and resume is
+    bit-exact, so the loss-free mitigation for any host-side leak is a
+    periodic restart. train.py converts this into ``RESTART_EXIT_CODE``.
+    """
+
+    def __init__(self, rss_gb: float, limit_gb: float, step: int):
+        super().__init__(
+            f"host RSS {rss_gb:.2f} GB > train.max_host_rss_gb "
+            f"{limit_gb:.2f} GB at step {step}; checkpoint saved — "
+            f"relaunch to resume (exit code {RESTART_EXIT_CODE} under "
+            f"train.py; scripts/supervise_train.py automates the relaunch)")
+        self.rss_gb = rss_gb
+        self.limit_gb = limit_gb
+        self.step = step
+
+
+def host_rss_gb() -> float:
+    """Resident set size of THIS process in GiB.
+
+    /proc/self/status VmRSS on Linux (one small read, no allocation churn —
+    safe at log-interval cadence); ru_maxrss fallback elsewhere (a peak,
+    not current — still monotone enough for a restart threshold).
+    """
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / (1024 * 1024)  # kB -> GiB
+    except OSError:
+        pass
+    import resource
+    ru = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # Linux reports kB, macOS bytes
+    return ru / (1024 * 1024) if ru < 1 << 40 else ru / (1 << 30)
+
 
 class StepWallTracker:
     def __init__(self, stall_factor: float = 5.0, median_window: int = 200,

@@ -28,6 +28,9 @@ class CheckpointManager:
     def save(self, step: int, state: Any) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
 
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
     def restore_latest(self, abstract_state: Any) -> tuple[Any, int] | None:
         """Restore the newest checkpoint into the given abstract pytree.
 

@@ -526,3 +526,43 @@ def test_compact_run_with_eval(synth_dataset, tmp_path, monkeypatch):
     assert seen["time/step_max"] >= seen["time/step_p95"]
     # cross-speaker VC metrics reached the eval writer (VERDICT r4 item 3)
     assert -1.0 <= seen["eval/vc_spk_sim"] <= 1.0
+
+
+def test_rss_limit_checkpoints_then_requests_restart(synth_dataset, tmp_path,
+                                                     monkeypatch):
+    """train.max_host_rss_gb: a crossed limit checkpoints FIRST, then raises
+    HostMemoryRestart; a relaunch resumes from that checkpoint. This is the
+    loss-free mitigation for host-side leaks (the axon tunnel client's
+    ~90 MB/step H2D staging, BENCH.md "Durability flagship") — the
+    supervisor-side half lives in tests/test_supervise.py."""
+    import dataclasses
+
+    from quickvc_tpu.train.loop import run
+    from quickvc_tpu.train.telemetry import HostMemoryRestart
+    from quickvc_tpu.utils.logging import Summarizer
+
+    seen: dict = {}
+    orig = Summarizer.scalars
+    monkeypatch.setattr(Summarizer, "scalars",
+                        lambda self, step, d: (seen.update(d),
+                                               orig(self, step, d)))
+    cfg = e2e_config(synth_dataset)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, eval_interval=0,
+                                       batch_size=8, log_interval=2,
+                                       max_host_rss_gb=0.001))
+    cfg.model_dir = str(tmp_path / "rss_run")
+    # the live process is far above 1 MB, so the first logged step (0) trips
+    with pytest.raises(HostMemoryRestart) as exc:
+        run(cfg, max_steps=4)
+    assert exc.value.step == 0 and exc.value.rss_gb > exc.value.limit_gb
+    assert seen["host/rss_gb"] == pytest.approx(exc.value.rss_gb, rel=0.5)
+    log = open(os.path.join(cfg.model_dir, "train.log")).read()
+    assert "requesting restart" in log
+    # the checkpoint landed BEFORE the raise — a relaunch with the limit
+    # lifted resumes from it and completes
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, max_host_rss_gb=0.0))
+    run(cfg2, max_steps=2)
+    log = open(os.path.join(cfg.model_dir, "train.log")).read()
+    assert "Resumed from checkpoint at step 0" in log

@@ -57,8 +57,16 @@ def main():
         cfg.train.export_torch_every = args.export_torch_every
 
     from quickvc_tpu.train.loop import run
-    run(cfg, max_steps=args.max_steps, profile_steps=args.profile_steps,
-        init_torch=init_torch)
+    from quickvc_tpu.train.telemetry import RESTART_EXIT_CODE, HostMemoryRestart
+    try:
+        run(cfg, max_steps=args.max_steps, profile_steps=args.profile_steps,
+            init_torch=init_torch)
+    except HostMemoryRestart as e:
+        # Checkpointed restart request (train.max_host_rss_gb): exit with
+        # the supervisor-recognized code; scripts/supervise_train.py (or any
+        # process manager) relaunches and the run resumes bit-exactly.
+        print(f"restart requested: {e}", flush=True)
+        raise SystemExit(RESTART_EXIT_CODE)
 
 
 if __name__ == "__main__":
