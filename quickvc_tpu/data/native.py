@@ -17,13 +17,39 @@ _LIB = None
 _LIB_TRIED = False
 
 
+def _autobuild(native_dir: str) -> None:
+    """Best-effort `make -C native` on first use in a fresh checkout.
+
+    The .so is a build artifact (gitignored), so a clean clone has no FLAC
+    support until someone runs make; building lazily here makes every entry
+    point (train/convert/encode/pytest) self-sufficient. Serialized via an
+    flock so concurrent loader workers don't race the link step; any
+    failure (no toolchain, read-only tree) falls through to the graceful
+    "not built" path.
+    """
+    import subprocess
+    try:
+        import fcntl
+        with open(os.path.join(native_dir, ".build.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if not os.path.exists(os.path.join(native_dir, "libqvc_audio.so")):
+                subprocess.run(["make", "-C", native_dir], check=False,
+                               capture_output=True, timeout=120)
+    except Exception:
+        pass
+
+
 def _lib():
     global _LIB, _LIB_TRIED
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
-    path = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libqvc_audio.so")
-    path = os.path.abspath(path)
+    native_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "native"))
+    path = os.path.join(native_dir, "libqvc_audio.so")
+    if not os.path.exists(path) and os.path.exists(
+            os.path.join(native_dir, "Makefile")):
+        _autobuild(native_dir)
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
