@@ -195,3 +195,17 @@ def test_wav_float32_decode(tmp_path, rng):
     x, sr = native.read_audio(str(path))
     assert sr == 22050
     np.testing.assert_allclose(x, data, atol=1e-6)
+
+
+def test_autobuild_from_sources(tmp_path):
+    """_autobuild produces the .so in a fresh copy of the native tree —
+    the lazy first-use build a clean checkout relies on (the .so is a
+    gitignored artifact)."""
+    import shutil
+
+    nd = tmp_path / "native"
+    shutil.copytree(NATIVE_DIR, nd, ignore=shutil.ignore_patterns("*.so", "*.lock",
+                                                                  "fuzz_driver_asan"))
+    assert not (nd / "libqvc_audio.so").exists()
+    native._autobuild(str(nd))
+    assert (nd / "libqvc_audio.so").exists()
