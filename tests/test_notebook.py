@@ -44,6 +44,12 @@ def test_pipeline_notebook_executes(tmp_path):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    # the notebook's CLI cells run `!python ...`, resolved via PATH — make
+    # sure they get THIS interpreter's environment even when pytest was
+    # launched by absolute path without the venv's bin dir on PATH (the
+    # `!` shell swallows a bad interpreter silently: every cell "executes"
+    # and the output-dir asserts below fail instead)
+    env["PATH"] = os.path.dirname(sys.executable) + os.pathsep + env.get("PATH", "")
     # single CPU device: the notebook trains at batch 2, which does not
     # shard over the 8 virtual devices the pytest process forces
     env["XLA_FLAGS"] = " ".join(
